@@ -1,0 +1,212 @@
+"""Configuration for the evflow-tpu engine.
+
+Every magic constant scattered through the reference C/C++/OpenCL apps is a named
+field here (reference locations cited per field). Static shapes stay static — they
+suit XLA — but are derived from this config instead of being sprinkled inline.
+
+Reference constants:
+  - ARRAY_SIZE=16384, WIDTH=1280, HEIGHT=720, MAX_HASH_SIZE=8192:
+    event-cam-pre-processing-opencl/event-cam-sampling/metavision_sdk_get_started5_opencl_store.cpp:34-40
+    build/coordinate_processor.cl:12,30
+  - slice cadence 50 ms / 16384 events:
+    event-cam-clustering-accel/.../metavision_sdk_get_started5_opencl_store.cpp:351;
+    event-cam-tracking/event-cam-fast-corner-tracker/metavision_time_surface_periodic_group_track.cpp:773
+  - AEClustering defaults (three divergent copies):
+    async:   szBuffer=800, radius=20, minN=5, alpha=0.5, kappa=0  (AEClustering.cpp:7-17)
+    accel:   szBuffer=800, radius=40, minN=10                     (accel/AEClustering.cpp:8-17)
+    tracking:szBuffer=400, radius=60, minN=10                     (tracking/AEClustering.cpp:8-11)
+  - k-means: k=8, threshold 50.0, convergence error_max>10:
+    assign_to_centers.cl:11-25; assign_to_centers2.c:131,545-548
+  - tracker params (30.0, 30, 10, 5, 0.8, 0.3, 100.0):
+    metavision_time_surface_periodic_group_track.cpp:805-813
+  - eFAST: circle3(16 px, streak 3-6), circle4(20 px, streak 4-8), border 4 px:
+    metavision_time_surface_fast_corner.cpp:24-32; group_track.cpp:44-45,951-1054
+  - NMS box 15, threshold 0.5: group_track.cpp:832-838
+  - OPTICS defaults: min_pts=2, eps=10 per integration test
+    (optics-clustering/test/cluster_event_data.cpp:449)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Event-camera geometry (Prophesee EVK: 1280x720)."""
+
+    width: int = 1280
+    height: int = 720
+
+    @property
+    def npixels(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class SliceConfig:
+    """Stream slicing: by event count or by time window.
+
+    Mirrors Metavision EventBufferReslicerAlgorithm::Condition::make_n_events /
+    make_n_us (reference …store.cpp:335-337, 349-352).
+    """
+
+    n_events: int = 16384        # events per slice (make_n_events)
+    n_us: int = 50_000           # µs per slice (make_n_us)
+    mode: str = "n_events"       # "n_events" | "n_us"
+
+
+@dataclasses.dataclass(frozen=True)
+class DedupConfig:
+    """Hash-grid downsampling (coordinate_processor.cl).
+
+    exact=False reproduces the reference's approximate hash-bucket dedup
+    (collisions alias distinct pixels, cl:12); exact=True keys on the true
+    pixel id y*width+x instead.
+    """
+
+    num_buckets: int = 8192      # MAX_HASH_SIZE (cl:29-30)
+    hash_mul_x: int = 1619       # cl:12
+    hash_mul_y: int = 31         # cl:12
+    exact: bool = False
+    # Reference consumer reads every 2nd unique coordinate (stride 4 over an
+    # x,y-interleaved array, accel …store.cpp:435-445). Quirk-gated.
+    compat_stride2: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """AEClustering parameters (AEClustering.{h,cpp})."""
+
+    sz_buffer: int = 800         # sliding window of event times
+    radius: float = 20.0         # Manhattan-distance gate
+    alpha: float = 0.5           # EWMA weight for cluster mean
+    kappa: int = 0               # sampled-member check count (0 = scan all)
+    min_n: int = 5               # minimum membership for reporting
+    max_clusters: int = 128      # fixed capacity (TPU-side; clusters are masked)
+    max_members: int = 1024      # fixed capacity for the member ring buffer
+
+    @staticmethod
+    def async_app() -> "ClusterConfig":
+        return ClusterConfig(sz_buffer=800, radius=20.0, min_n=5)
+
+    @staticmethod
+    def accel_app() -> "ClusterConfig":
+        return ClusterConfig(sz_buffer=800, radius=40.0, min_n=10)
+
+    @staticmethod
+    def tracking_app() -> "ClusterConfig":
+        return ClusterConfig(sz_buffer=400, radius=60.0, min_n=10)
+
+
+@dataclasses.dataclass(frozen=True)
+class KMeansConfig:
+    """OpenCL k-means (assign_to_centers.cl + assign_to_centers2.c)."""
+
+    k: int = 8
+    assign_threshold: float = 50.0   # initial distance gate (cl:11)
+    convergence_tol: float = 10.0    # loop while error_max > 10 (c:545-548)
+    max_iters: int = 64
+    # Compat: kernel emits center *byte-pair* index (0,2,..,14) and 255 for
+    # unassigned (cl:12,22,26). Off by default; we use 0..k-1 and -1.
+    compat_bytepair_labels: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class EFastConfig:
+    """eFAST corner detector on the SAE (group_track.cpp:944-1064)."""
+
+    border: int = 4              # margin = max_scale*4 (group_track.cpp:951)
+    streak3_min: int = 3
+    streak3_max: int = 6
+    streak4_min: int = 4
+    streak4_max: int = 8
+    # The built target indexes .at(y+c[i][0], x+c[i][1]) (group_track.cpp:968),
+    # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
+    group_track_axis_order: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class NMSConfig:
+    """Greedy first-come box suppression (CornerFilter, group_track.cpp:81-152)."""
+
+    box_size: int = 15
+    threshold: float = 0.5       # unused by the reference (response commented out)
+    max_corners: int = 512       # fixed output capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """CornerTracker / Luenberger-style observer (group_track.cpp:201-537)."""
+
+    max_distance: float = 30.0
+    max_frames: int = 30
+    history: int = 10
+    frames_to_skip: int = 5
+    damping: float = 0.8
+    smoothing: float = 0.3
+    group_radius: float = 100.0  # value used at the call site (:812)
+    weight_decay: float = 0.8    # calculateDirection exponential decay (:243)
+    group_blend: float = 0.3     # velocity = 0.7*own + 0.3*group (:395)
+    max_tracks: int = 256        # fixed capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class OpticsConfig:
+    """OPTICS reachability clustering (optics.hpp)."""
+
+    min_pts: int = 2
+    epsilon: float = -1.0        # <=0 → epsilon_estimation (hpp:369-387)
+    max_neighbors: int = 256     # fixed cap for TPU neighbor lists
+    chi: float = 0.1
+    steep_area_min_diff: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DBSCANConfig:
+    """DBSCAN (point-cloud-clustering/DBSCAN_simple.h + pcl_cluster.cpp)."""
+
+    eps: float = 20.0            # setClusterTolerance (pcl_cluster.cpp:115)
+    core_min_pts: int = 20       # setCorePointMinPts (:116)
+    min_cluster_size: int = 100  # (:117)
+    max_cluster_size: int = 25000
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Centroid-difference optical flow (accel …store.cpp:461-557)."""
+
+    extrapolation: float = 1.0   # accel draws ×1; tracking app ×3 (:437-441)
+    max_cluster_ids: int = 16384 # centroid_prev table size (accel :188-193)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for spatio-temporal tiling."""
+
+    tile_axis: str = "tile"      # spatial tiles over ICI
+    data_axis: str = "data"      # time-window shards over hosts/DCN
+    halo: int = 4                # eFAST needs a 4-px halo across tile borders
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    sensor: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    slicing: SliceConfig = dataclasses.field(default_factory=SliceConfig)
+    dedup: DedupConfig = dataclasses.field(default_factory=DedupConfig)
+    cluster: ClusterConfig = dataclasses.field(default_factory=ClusterConfig)
+    kmeans: KMeansConfig = dataclasses.field(default_factory=KMeansConfig)
+    efast: EFastConfig = dataclasses.field(default_factory=EFastConfig)
+    nms: NMSConfig = dataclasses.field(default_factory=NMSConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    optics: OpticsConfig = dataclasses.field(default_factory=OpticsConfig)
+    dbscan: DBSCANConfig = dataclasses.field(default_factory=DBSCANConfig)
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = EngineConfig()

@@ -1,0 +1,123 @@
+"""Synthetic event generators for tests and benchmarks.
+
+Ports the reference's synthetic inputs:
+  - k-means `i%100` ramp data (assign_to_centers2.c:121-130)
+  - OPTICS benchmark's seeded uniform clouds (test/Benchmark/benchmark.cpp:62-103,
+    std::mt19937 gen(1))
+plus moving-blob event streams that exercise clustering/flow/tracking end-to-end
+(the reference validates those stages only by eyeball on camera recordings).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .events import EventStream
+
+
+def kmeans_ramp_data(n: int = 2048) -> np.ndarray:
+    """(n, 2) float32, point i = (i%100, i%100) — assign_to_centers2.c:121-129."""
+    v = (np.arange(n) % 100).astype(np.float32)
+    return np.stack([v, v], axis=1)
+
+
+def kmeans_initial_centroids() -> np.ndarray:
+    """Initial centroids {1,1,10,10,20,20,...,80,80}/... (assign_to_centers2.c:131)."""
+    vals = np.array([1, 10, 20, 30, 40, 50, 60, 70], dtype=np.float32)
+    return np.stack([vals, vals], axis=1)
+
+
+def uniform_cloud(n_points: int, dim: int, volume: float = 1000.0,
+                  seed: int = 1) -> np.ndarray:
+    """Seeded uniform cloud in [0, volume]^dim (benchmark.cpp:62-103)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.0, volume, size=(n_points, dim)).astype(np.float32)
+
+
+def gaussian_blobs(n_points: int, centers: Sequence[Tuple[float, float]],
+                   sigma: float = 8.0, seed: int = 0,
+                   width: int = 1280, height: int = 720) -> np.ndarray:
+    """(n, 2) int pixel cloud around the given centers."""
+    rng = np.random.default_rng(seed)
+    k = len(centers)
+    which = rng.integers(0, k, size=n_points)
+    c = np.asarray(centers, dtype=np.float64)[which]
+    pts = c + rng.normal(0.0, sigma, size=(n_points, 2))
+    pts[:, 0] = np.clip(pts[:, 0], 0, width - 1)
+    pts[:, 1] = np.clip(pts[:, 1], 0, height - 1)
+    return np.round(pts).astype(np.int32)
+
+
+def moving_blob_stream(
+    num_slices: int = 20,
+    events_per_slice: int = 16384,
+    blob_centers: Sequence[Tuple[float, float]] = ((200.0, 200.0), (900.0, 500.0)),
+    velocities: Sequence[Tuple[float, float]] = ((30.0, 10.0), (-20.0, 15.0)),
+    sigma: float = 12.0,
+    slice_us: int = 50_000,
+    seed: int = 42,
+    width: int = 1280,
+    height: int = 720,
+) -> EventStream:
+    """Blobs translating at fixed pixel/slice velocities, emitting events.
+
+    Ground-truth velocities make this the oracle input for centroid-flow and
+    tracker ATE tests.
+    """
+    rng = np.random.default_rng(seed)
+    k = len(blob_centers)
+    xs, ys, ts, ps = [], [], [], []
+    centers = np.asarray(blob_centers, dtype=np.float64)
+    vel = np.asarray(velocities, dtype=np.float64)
+    for s in range(num_slices):
+        which = rng.integers(0, k, size=events_per_slice)
+        c = centers[which]
+        pts = c + rng.normal(0.0, sigma, size=(events_per_slice, 2))
+        x = np.clip(np.round(pts[:, 0]), 0, width - 1).astype(np.int32)
+        y = np.clip(np.round(pts[:, 1]), 0, height - 1).astype(np.int32)
+        t = (s * slice_us + np.sort(rng.integers(0, slice_us, size=events_per_slice))).astype(np.int64)
+        p = rng.integers(0, 2, size=events_per_slice).astype(np.int32)
+        xs.append(x); ys.append(y); ts.append(t); ps.append(p)
+        centers = centers + vel
+        centers[:, 0] = np.clip(centers[:, 0], 5 * sigma, width - 1 - 5 * sigma)
+        centers[:, 1] = np.clip(centers[:, 1], 5 * sigma, height - 1 - 5 * sigma)
+    return EventStream(
+        np.concatenate(xs), np.concatenate(ys), np.concatenate(ts), np.concatenate(ps)
+    )
+
+
+def moving_edge_stream(
+    num_slices: int = 10,
+    events_per_slice: int = 16384,
+    speed_px_per_slice: float = 12.0,
+    slice_us: int = 50_000,
+    seed: int = 7,
+    width: int = 1280,
+    height: int = 720,
+) -> EventStream:
+    """A vertical bright edge sweeping right — produces strong eFAST corners at
+    its intersections with two horizontal edges (an 'L' pattern)."""
+    rng = np.random.default_rng(seed)
+    xs, ys, ts, ps = [], [], [], []
+    x0 = 100.0
+    for s in range(num_slices):
+        # events along an L-shape: vertical bar + horizontal bar meeting at a corner
+        n_v = events_per_slice // 2
+        n_h = events_per_slice - n_v
+        xv = np.full(n_v, x0) + rng.normal(0, 1.0, n_v)
+        yv = rng.uniform(100, 500, n_v)
+        xh = rng.uniform(x0, x0 + 300, n_h)
+        yh = np.full(n_h, 500.0) + rng.normal(0, 1.0, n_h)
+        x = np.clip(np.round(np.concatenate([xv, xh])), 0, width - 1).astype(np.int32)
+        y = np.clip(np.round(np.concatenate([yv, yh])), 0, height - 1).astype(np.int32)
+        t = (s * slice_us + np.sort(rng.integers(0, slice_us, size=events_per_slice))).astype(np.int64)
+        p = np.ones(events_per_slice, dtype=np.int32)
+        order = rng.permutation(events_per_slice)
+        xs.append(x[order]); ys.append(y[order]); ts.append(t)
+        ps.append(p)
+        x0 += speed_px_per_slice
+    return EventStream(
+        np.concatenate(xs), np.concatenate(ys), np.concatenate(ts), np.concatenate(ps)
+    )

@@ -1,0 +1,252 @@
+"""AEClustering — async incremental moving-average event clustering, exact mode.
+
+Reference (three near-identical copies; canonical cites to
+event-cam-clustering/async-incremental-clustering/AEClustering.cpp and
+MyCluster.cpp; accel copy adds persistent clusterId, accel/AEClustering.cpp:96-97):
+
+Per event `update(e)` (AEClustering.cpp:47-118):
+  1. t = e.t - t0 (t0 = first event time, :48-56)
+  2. sliding window of the last szBuffer update times → tMin (updateBuffer_,
+     :132-140)
+  3. for each cluster in deque order: forget members with datT < tMin
+     (MyCluster::forget, :50-61); empty clusters marked removed; else assign if
+     manhattan(pix, mu) <= radius (:75-80); else if n > minN, the sampling
+     branch (:81-87) — with the apps' default kappa=0 it never matches
+     (MyCluster.cpp:83 loop runs zero times), so the deployed behavior is
+     mean-distance only
+  4. no match → new cluster (mu = pix) appended; match → add to the first
+     (lowest-index) assigned cluster with EWMA mu update
+     mu = (1-alpha)*mu + alpha*pix (MyCluster.cpp:175-177)
+  5. >=2 matches → merge into the first: mu = sum(n_i/n)*mu_i, members k-way
+     merged by time; the removed-empties erasure is skipped on merge updates
+     (early return, AEClustering.cpp:104)
+  6. else erase empty clusters back-to-front
+
+TPU formulation: fixed-capacity SoA state — a global member ring buffer
+(capacity M) with per-member cluster ids, and C cluster slots with an explicit
+creation-order key reproducing deque order — advanced by a jitted per-event
+step under lax.scan. All dynamic cardinalities are masks. Intra-cluster member
+*order* is deliberately not tracked: it only affects future orderings, never
+memberships, means, or centroids (forget == time mask for time-sorted streams;
+merge order is by time).
+
+This mode exists for bit-parity validation; the throughput path is
+models/fastcluster.py. Deviations (documented):
+  - member ring overwrite can drop a still-live member tied exactly at tMin
+    when more than M updates keep it alive (choose M > szBuffer + slice slack);
+  - cluster-capacity overflow drops the new cluster instead of growing;
+  - kappa>0 sampling uses a full member min instead of unseeded std::rand().
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClusterConfig
+
+_BIG = jnp.int32(2**31 - 1)
+_INF = jnp.float32(jnp.inf)
+
+
+class AEState(NamedTuple):
+    # time origin
+    t0: jnp.ndarray            # int64 ()
+    has_t0: jnp.ndarray        # bool ()
+    # sliding window of update times (deque of size szBuffer)
+    tbuf: jnp.ndarray          # int64 (W,)
+    thead: jnp.ndarray         # int32 () total pushes so far
+    # member ring buffer
+    mx: jnp.ndarray            # int32 (M,)
+    my: jnp.ndarray            # int32 (M,)
+    mt: jnp.ndarray            # int64 (M,) relative time
+    mp: jnp.ndarray            # int32 (M,) polarity
+    mcid: jnp.ndarray          # int32 (M,) cluster slot, -1 free
+    # cluster slots
+    alive: jnp.ndarray         # bool (C,)
+    corder: jnp.ndarray        # int32 (C,) creation sequence (deque order key)
+    cid: jnp.ndarray           # int32 (C,) persistent cluster id (accel :96-97)
+    mu: jnp.ndarray            # float32 (C, 2)
+    # counters
+    next_order: jnp.ndarray    # int32 ()
+    next_cid: jnp.ndarray      # int32 ()
+    event_id: jnp.ndarray      # int32 ()
+    last_updated: jnp.ndarray  # int32 () cluster slot of last update, -1 none
+    overflow: jnp.ndarray      # int32 () dropped new-cluster count
+
+
+def init_state(cfg: ClusterConfig = ClusterConfig()) -> AEState:
+    w, m, c = cfg.sz_buffer, cfg.max_members, cfg.max_clusters
+    return AEState(
+        t0=jnp.int64(0), has_t0=jnp.array(False),
+        tbuf=jnp.zeros((w,), jnp.int64), thead=jnp.int32(0),
+        mx=jnp.zeros((m,), jnp.int32), my=jnp.zeros((m,), jnp.int32),
+        mt=jnp.zeros((m,), jnp.int64), mp=jnp.zeros((m,), jnp.int32),
+        mcid=jnp.full((m,), -1, jnp.int32),
+        alive=jnp.zeros((c,), bool), corder=jnp.full((c,), _BIG, jnp.int32),
+        cid=jnp.full((c,), -1, jnp.int32), mu=jnp.zeros((c, 2), jnp.float32),
+        next_order=jnp.int32(0), next_cid=jnp.int32(0), event_id=jnp.int32(0),
+        last_updated=jnp.int32(-1), overflow=jnp.int32(0),
+    )
+
+
+def _member_stats(state: AEState, px, py, c: int):
+    """Per-cluster valid-member counts and min member L1 distance."""
+    ids = jnp.where(state.mcid >= 0, state.mcid, c)
+    ones = (state.mcid >= 0).astype(jnp.int32)
+    n_c = jax.ops.segment_sum(ones, ids, num_segments=c + 1)[:c]
+    d = (jnp.abs(state.mx - px) + jnp.abs(state.my - py)).astype(jnp.float32)
+    d = jnp.where(state.mcid >= 0, d, _INF)
+    dmin_c = jax.ops.segment_min(d, ids, num_segments=c + 1)[:c]
+    return n_c, dmin_c
+
+
+def update_event(state: AEState, x, y, t_raw, p,
+                 cfg: ClusterConfig = ClusterConfig()) -> AEState:
+    """One AEClustering::update step. x/y/p int32, t_raw int64."""
+    w = cfg.sz_buffer
+    c = cfg.max_clusters
+    m = cfg.max_members
+
+    t0 = jnp.where(state.has_t0, state.t0, t_raw)
+    t = t_raw - t0
+
+    # --- updateBuffer_: push t, window = last W entries, tMin = oldest kept.
+    tbuf = state.tbuf.at[state.thead % w].set(t)
+    thead = state.thead + 1
+    win = jnp.minimum(thead, w)
+    tmin = tbuf[(thead - win) % w]
+
+    # --- forget (permanent): members older than tMin are freed.
+    mcid = jnp.where((state.mcid >= 0) & (state.mt >= tmin), state.mcid, -1)
+    state = state._replace(mcid=mcid)
+
+    # --- per-cluster stats after forget
+    n_c, dmin_c = _member_stats(state, x, y, c)
+    empty = state.alive & (n_c == 0)
+    live = state.alive & (n_c > 0)
+
+    pix = jnp.stack([x, y]).astype(jnp.float32)
+    dist_mu = jnp.abs(pix[0] - state.mu[:, 0]) + jnp.abs(pix[1] - state.mu[:, 1])
+    near = live & (dist_mu <= cfg.radius)
+    if cfg.kappa == 0:
+        samp = jnp.zeros((c,), bool)   # deployed default: branch never matches
+    else:
+        samp = live & ~near & (n_c > cfg.min_n) & (dmin_c <= cfg.radius)
+    assigned = near | samp
+    n_assigned = jnp.sum(assigned.astype(jnp.int32))
+    any_assigned = n_assigned > 0
+
+    # target = assigned cluster first in deque order (min creation order)
+    order_key = jnp.where(assigned, state.corder, _BIG)
+    target_assigned = jnp.argmin(order_key).astype(jnp.int32)
+
+    # free slot for a potential new cluster
+    free = ~state.alive
+    free_slot = jnp.argmax(free).astype(jnp.int32)
+    have_free = jnp.any(free)
+    make_new = ~any_assigned & have_free
+    overflow = state.overflow + jnp.where(~any_assigned & ~have_free, 1, 0)
+
+    target = jnp.where(any_assigned, target_assigned, free_slot)
+    do_add = any_assigned | make_new
+
+    # --- add member to the ring
+    slot = state.event_id % m
+    mx = state.mx.at[slot].set(jnp.where(do_add, x, state.mx[slot]))
+    my = state.my.at[slot].set(jnp.where(do_add, y, state.my[slot]))
+    mt = state.mt.at[slot].set(jnp.where(do_add, t, state.mt[slot]))
+    mp = state.mp.at[slot].set(jnp.where(do_add, p, state.mp[slot]))
+    mcid = state.mcid.at[slot].set(jnp.where(do_add, target, state.mcid[slot]))
+    event_id = state.event_id + jnp.where(do_add, 1, 0)
+
+    # --- cluster bookkeeping for the target
+    is_first_member = jnp.where(any_assigned, n_c[target] == 0, True)
+    new_mu_t = jnp.where(is_first_member, pix,
+                         (1.0 - cfg.alpha) * state.mu[target] + cfg.alpha * pix)
+    mu = state.mu.at[target].set(jnp.where(do_add, new_mu_t, state.mu[target]))
+    alive = state.alive.at[free_slot].set(jnp.where(make_new, True,
+                                                    state.alive[free_slot]))
+    corder = state.corder.at[free_slot].set(
+        jnp.where(make_new, state.next_order, state.corder[free_slot]))
+    cid = state.cid.at[free_slot].set(
+        jnp.where(make_new, state.next_cid, state.cid[free_slot]))
+    next_order = state.next_order + jnp.where(make_new, 1, 0)
+    next_cid = state.next_cid + jnp.where(make_new, 1, 0)
+
+    # --- merge (>= 2 assigned): weighted mu (weights = post-add counts),
+    # members reassigned to target, other assigned slots die.
+    do_merge = n_assigned >= 2
+    n_post = n_c + jnp.where(jnp.arange(c) == target, 1, 0)
+    wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
+    merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
+                 / jnp.maximum(jnp.sum(wgt), 1.0))
+    mu = jnp.where(do_merge, mu.at[target].set(merged_mu), mu)
+    member_in_assigned = (mcid >= 0) & assigned[jnp.clip(mcid, 0, c - 1)]
+    mcid = jnp.where(do_merge & member_in_assigned, target, mcid)
+    kill_merge = assigned & (jnp.arange(c) != target)
+    alive = jnp.where(do_merge & kill_merge, False, alive)
+
+    # --- remove empties (skipped on merge updates, AEClustering.cpp:104)
+    alive = jnp.where(~do_merge & empty, False, alive)
+
+    # recycle dead slots
+    dead = ~alive
+    corder = jnp.where(dead, _BIG, corder)
+    cid = jnp.where(dead, cid, cid)  # keep ids for debugging; masked by alive
+    mcid = jnp.where((mcid >= 0) & dead[jnp.clip(mcid, 0, c - 1)], -1, mcid)
+
+    return AEState(
+        t0=t0, has_t0=jnp.array(True), tbuf=tbuf, thead=thead,
+        mx=mx, my=my, mt=mt, mp=mp, mcid=mcid,
+        alive=alive, corder=corder, cid=cid, mu=mu,
+        next_order=next_order, next_cid=next_cid, event_id=event_id,
+        last_updated=jnp.where(do_add, target, jnp.int32(-1)),
+        overflow=overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_slice(state: AEState, x, y, t, p, valid,
+                 cfg: ClusterConfig = ClusterConfig()) -> AEState:
+    """scan the per-event update over one slice (masked lanes are no-ops)."""
+
+    def step(st, ev):
+        xi, yi, ti, pi, vi = ev
+        new = update_event(st, xi, yi, ti, pi, cfg)
+        st = jax.tree.map(lambda a, b: jnp.where(vi, b, a), st, new)
+        return st, None
+
+    state, _ = jax.lax.scan(step, state,
+                            (x.astype(jnp.int32), y.astype(jnp.int32),
+                             t.astype(state.mt.dtype), p.astype(jnp.int32), valid))
+    return state
+
+
+class ClusterView(NamedTuple):
+    """Snapshot of live clusters (fixed shape, masked)."""
+    alive: jnp.ndarray      # bool (C,)
+    cid: jnp.ndarray        # int32 (C,)
+    order: jnp.ndarray      # int32 (C,) deque order key
+    n: jnp.ndarray          # int32 (C,)
+    mu: jnp.ndarray         # float32 (C, 2) EWMA mean
+    centroid: jnp.ndarray   # float32 (C, 2) arithmetic mean of live members
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def snapshot(state: AEState, cfg: ClusterConfig = ClusterConfig()) -> ClusterView:
+    c = cfg.max_clusters
+    ids = jnp.where(state.mcid >= 0, state.mcid, c)
+    ones = (state.mcid >= 0).astype(jnp.int32)
+    n_c = jax.ops.segment_sum(ones, ids, num_segments=c + 1)[:c]
+    sx = jax.ops.segment_sum(jnp.where(state.mcid >= 0, state.mx, 0).astype(jnp.float32),
+                             ids, num_segments=c + 1)[:c]
+    sy = jax.ops.segment_sum(jnp.where(state.mcid >= 0, state.my, 0).astype(jnp.float32),
+                             ids, num_segments=c + 1)[:c]
+    denom = jnp.maximum(n_c, 1).astype(jnp.float32)
+    centroid = jnp.stack([sx / denom, sy / denom], axis=1)
+    return ClusterView(alive=state.alive, cid=state.cid, order=state.corder,
+                       n=n_c, mu=state.mu, centroid=centroid)

@@ -1,0 +1,98 @@
+"""Segment reductions — TPU-native replacement for the OpenCL compaction +
+tree-reduction kernels.
+
+The reference computes per-cluster sums with an atomic compaction kernel
+(assign_data_cluster, assign_to_centers.cl:36-119: 8 unrolled atomic append
+blocks into 4096-float cluster strips) followed by a local-memory halving
+reduction (reduction_scalar, cl:121-140) and a host-side fixup
+(assign_to_centers2.c:499-512). On TPU all three collapse into deterministic
+segment_sum/segment ops — no atomics, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_segment_sum(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                       num_segments: int, valid: jnp.ndarray) -> jnp.ndarray:
+    """segment_sum with invalid lanes parked in an overflow segment.
+
+    values: (N,) or (N, D); segment_ids int32 (N,) in [0, num_segments);
+    returns (num_segments,) or (num_segments, D).
+    """
+    ids = jnp.where(valid, segment_ids, num_segments)
+    out = jax.ops.segment_sum(values, ids, num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def segment_counts(segment_ids: jnp.ndarray, num_segments: int,
+                   valid: jnp.ndarray) -> jnp.ndarray:
+    ones = jnp.ones(segment_ids.shape, jnp.int32)
+    return masked_segment_sum(ones, segment_ids, num_segments, valid)
+
+
+def segment_mean_points(points: jnp.ndarray, segment_ids: jnp.ndarray,
+                        num_segments: int, valid: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-segment centroid of (N, D) points. Empty segments return 0.
+
+    This is the per-cluster centroid = (sum)/count of assign_to_centers2.c:499-512
+    without the reference's group-offset indexing bug (SURVEY §2.5).
+    """
+    sums = masked_segment_sum(points.astype(jnp.float32), segment_ids,
+                              num_segments, valid)
+    counts = segment_counts(segment_ids, num_segments, valid)
+    denom = jnp.maximum(counts, 1).astype(jnp.float32)[:, None]
+    return sums / denom, counts
+
+
+def compact_by_segment(points: jnp.ndarray, segment_ids: jnp.ndarray,
+                       num_segments: int, valid: jnp.ndarray,
+                       capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense per-segment point arrays — the assign_data_cluster equivalent.
+
+    Returns (num_segments, capacity, D) with per-segment stream-ordered points
+    (reference order is atomic race order; ours is deterministic) and
+    (num_segments,) counts. Overflowing members beyond `capacity` are dropped
+    (reference strips hold max 2048 points, cl:45).
+    """
+    n, d = points.shape
+    ids = jnp.where(valid, segment_ids, num_segments)
+    # Rank of each lane within its segment, in stream order:
+    # count of earlier lanes with the same id. O(N^2) mask — fine for slice-sized
+    # N; for larger N use a sort-based rank.
+    same = (ids[:, None] == ids[None, :])
+    earlier = jnp.arange(n)[:, None] > jnp.arange(n)[None, :]
+    rank = jnp.sum(same & earlier, axis=1)
+    keep = valid & (rank < capacity)
+    flat_pos = jnp.where(keep, ids * capacity + rank, num_segments * capacity)
+    out = jnp.zeros((num_segments * capacity + 1, d), points.dtype)
+    out = out.at[flat_pos].set(jnp.where(keep[:, None], points, 0), mode="drop")
+    counts = segment_counts(segment_ids, num_segments, valid)
+    return out[:-1].reshape(num_segments, capacity, d), jnp.minimum(counts, capacity)
+
+
+def compact_by_segment_sorted(points: jnp.ndarray, segment_ids: jnp.ndarray,
+                              num_segments: int, valid: jnp.ndarray,
+                              capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-based variant of compact_by_segment (O(N log N), for large N)."""
+    n, d = points.shape
+    ids = jnp.where(valid, segment_ids, num_segments).astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    sids, sl = jax.lax.sort((ids, lane), num_keys=2)
+    # rank within run
+    first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
+    run_start = jnp.where(first, jnp.arange(n), 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    rank_sorted = jnp.arange(n) - run_start
+    rank = jnp.zeros((n,), jnp.int32).at[sl].set(rank_sorted.astype(jnp.int32))
+    keep = valid & (rank < capacity)
+    flat_pos = jnp.where(keep, ids * capacity + rank, num_segments * capacity)
+    out = jnp.zeros((num_segments * capacity + 1, d), points.dtype)
+    out = out.at[flat_pos].set(jnp.where(keep[:, None], points, 0), mode="drop")
+    counts = segment_counts(segment_ids, num_segments, valid)
+    return out[:-1].reshape(num_segments, capacity, d), jnp.minimum(counts, capacity)
