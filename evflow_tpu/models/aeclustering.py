@@ -54,15 +54,15 @@ _INF = jnp.float32(jnp.inf)
 
 class AEState(NamedTuple):
     # time origin
-    t0: jnp.ndarray            # int64 ()
+    t0: jnp.ndarray            # int32 () relative-time origin (µs, wraps ~35 min)
     has_t0: jnp.ndarray        # bool ()
     # sliding window of update times (deque of size szBuffer)
-    tbuf: jnp.ndarray          # int64 (W,)
+    tbuf: jnp.ndarray          # int32 (W,)
     thead: jnp.ndarray         # int32 () total pushes so far
     # member ring buffer
     mx: jnp.ndarray            # int32 (M,)
     my: jnp.ndarray            # int32 (M,)
-    mt: jnp.ndarray            # int64 (M,) relative time
+    mt: jnp.ndarray            # int32 (M,) relative time
     mp: jnp.ndarray            # int32 (M,) polarity
     mcid: jnp.ndarray          # int32 (M,) cluster slot, -1 free
     # cluster slots
@@ -81,10 +81,10 @@ class AEState(NamedTuple):
 def init_state(cfg: ClusterConfig = ClusterConfig()) -> AEState:
     w, m, c = cfg.sz_buffer, cfg.max_members, cfg.max_clusters
     return AEState(
-        t0=jnp.int64(0), has_t0=jnp.array(False),
-        tbuf=jnp.zeros((w,), jnp.int64), thead=jnp.int32(0),
+        t0=jnp.int32(0), has_t0=jnp.array(False),
+        tbuf=jnp.zeros((w,), jnp.int32), thead=jnp.int32(0),
         mx=jnp.zeros((m,), jnp.int32), my=jnp.zeros((m,), jnp.int32),
-        mt=jnp.zeros((m,), jnp.int64), mp=jnp.zeros((m,), jnp.int32),
+        mt=jnp.zeros((m,), jnp.int32), mp=jnp.zeros((m,), jnp.int32),
         mcid=jnp.full((m,), -1, jnp.int32),
         alive=jnp.zeros((c,), bool), corder=jnp.full((c,), _BIG, jnp.int32),
         cid=jnp.full((c,), -1, jnp.int32), mu=jnp.zeros((c, 2), jnp.float32),
@@ -106,7 +106,7 @@ def _member_stats(state: AEState, px, py, c: int):
 
 def update_event(state: AEState, x, y, t_raw, p,
                  cfg: ClusterConfig = ClusterConfig()) -> AEState:
-    """One AEClustering::update step. x/y/p int32, t_raw int64."""
+    """One AEClustering::update step. x/y/p/t_raw int32 (t in µs)."""
     w = cfg.sz_buffer
     c = cfg.max_clusters
     m = cfg.max_members

@@ -1,0 +1,268 @@
+"""Slice-vectorized incremental clustering — the TPU throughput path.
+
+The reference AEClustering mutates its cluster set per event (SURVEY §7 "hard
+parts": inherently sequential). models/aeclustering.py reproduces that
+bit-for-bit with a lax.scan, but a 16k-step scan is latency-bound on TPU. This
+module is the data-parallel reformulation used by the flagship pipeline: one
+fixed-shape jitted step per slice.
+
+Semantics per slice (differences from the per-event engine are slice-granular
+and documented):
+  1. assign every deduped event to the nearest *start-of-slice* cluster mean
+     (Manhattan gate, same radius; exact mode evolves means within the slice)
+  2. unassigned events seed new clusters from occupied spatial grid cells
+     (cell = radius-sized; exact mode seeds one cluster per orphan event and
+     immediately chains them via per-event merges — grid seeding is the
+     batched equivalent)
+  3. per-cluster EWMA mean advanced with the *closed form* of the reference's
+     per-event recurrence mu <- (1-a)mu + a*x over the slice's members in
+     stream order: mu' = (1-a)^k mu + a * sum_i (1-a)^(k-1-i) x_i
+     (bit-equal to the sequential update for a fixed assignment)
+  4. membership window: a ring of per-slice aggregates (count, sum) per
+     cluster approximates the szBuffer event window at slice granularity;
+     centroid = windowed sum/count (reference: arithmetic mean of live
+     members, MyCluster.cpp:154-169)
+  5. clusters whose means fall within radius merge (weighted by member count,
+     lowest creation order survives — AEClustering::merge_clusters_ semantics
+     at slice granularity)
+  6. per-cluster centroid flow = centroid - previous centroid, keyed by
+     persistent cluster id (accel …store.cpp:503-517)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ClusterConfig, FlowConfig, SensorConfig
+
+_BIG = jnp.int32(2**31 - 1)
+
+
+class FastState(NamedTuple):
+    alive: jnp.ndarray          # bool (C,)
+    cid: jnp.ndarray            # int32 (C,) persistent cluster id
+    corder: jnp.ndarray         # int32 (C,) creation order key
+    mu: jnp.ndarray             # float32 (C, 2) EWMA mean
+    ring_count: jnp.ndarray     # int32 (C, R) per-slice member counts
+    ring_sum: jnp.ndarray       # float32 (C, R, 2) per-slice coordinate sums
+    ring_head: jnp.ndarray      # int32 () current ring slot
+    centroid_prev: jnp.ndarray  # float32 (C, 2) last reported centroid
+    has_prev: jnp.ndarray       # bool (C,)
+    next_cid: jnp.ndarray       # int32 ()
+    next_order: jnp.ndarray     # int32 ()
+
+
+class SliceOutput(NamedTuple):
+    alive: jnp.ndarray      # bool (C,) clusters alive after this slice
+    reported: jnp.ndarray   # bool (C,) n >= min_n (the rendered subset)
+    cid: jnp.ndarray        # int32 (C,)
+    n: jnp.ndarray          # int32 (C,) windowed membership
+    centroid: jnp.ndarray   # float32 (C, 2)
+    flow: jnp.ndarray       # float32 (C, 2) centroid - prev (0 on first report)
+    labels: jnp.ndarray     # int32 (N,) per-event cluster slot (-1 none)
+
+
+def init_state(cfg: ClusterConfig = ClusterConfig(), window_slices: int = 4) -> FastState:
+    c, r = cfg.max_clusters, window_slices
+    return FastState(
+        alive=jnp.zeros((c,), bool),
+        cid=jnp.full((c,), -1, jnp.int32),
+        corder=jnp.full((c,), _BIG, jnp.int32),
+        mu=jnp.zeros((c, 2), jnp.float32),
+        ring_count=jnp.zeros((c, r), jnp.int32),
+        ring_sum=jnp.zeros((c, r, 2), jnp.float32),
+        ring_head=jnp.int32(0),
+        centroid_prev=jnp.zeros((c, 2), jnp.float32),
+        has_prev=jnp.zeros((c,), bool),
+        next_cid=jnp.int32(0),
+        next_order=jnp.int32(0),
+    )
+
+
+def _ewma_closed_form(mu0, pts, labels, valid, c, alpha):
+    """Advance each cluster's EWMA mean with its slice members in stream order.
+
+    mu' = (1-a)^k mu0 + a * sum_i (1-a)^(k-1-i) x_i  for the k members
+    (i = 0 oldest). Ranks come from a sorted compaction; the weighted sums are
+    segment reductions.
+    """
+    n = pts.shape[0]
+    ids = jnp.where(valid, labels, c).astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    sids, sl = jax.lax.sort((ids, lane), num_keys=2)
+    first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, jnp.arange(n), 0))
+    rank_sorted = (jnp.arange(n) - run_start).astype(jnp.int32)
+    rank = jnp.zeros((n,), jnp.int32).at[sl].set(rank_sorted)
+
+    k_c = jax.ops.segment_sum(valid.astype(jnp.int32), ids, num_segments=c + 1)[:c]
+    # weight for event with rank r in a cluster of k members: a*(1-a)^(k-1-r)
+    # = a*(1-a)^(k-1) * (1-a)^(-r) — to avoid the inverse blowup, accumulate
+    # s = sum_i (1-a)^(-r_i) x_i * valid, then scale by a*(1-a)^(k-1), clamping
+    # exponents (contributions older than ~64 steps vanish in fp32 anyway).
+    la = jnp.log1p(-alpha)  # log(1-a), a<1
+    km1 = jnp.maximum(k_c - 1, 0).astype(jnp.float32)
+    # per-event exponent relative to its cluster's newest member:
+    # w_i = a * (1-a)^(k-1-r_i); clamp the exponent at 80 (fp32 underflow).
+    expo = jnp.clip(km1[jnp.clip(labels, 0, c - 1)] - rank.astype(jnp.float32), 0.0, 80.0)
+    w = alpha * jnp.exp(expo * la)
+    w = jnp.where(valid, w, 0.0)
+    wsum = jax.ops.segment_sum(w[:, None] * pts, ids, num_segments=c + 1)[:c]
+    decay = jnp.exp(jnp.clip(k_c.astype(jnp.float32), 0.0, 80.0) * la)
+    mu = decay[:, None] * mu0 + wsum
+    return jnp.where((k_c > 0)[:, None], mu, mu0), k_c
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sensor", "grid_cells"))
+def update_slice(
+    state: FastState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: ClusterConfig = ClusterConfig(),
+    sensor: SensorConfig = SensorConfig(),
+    grid_cells: int = 4096,
+) -> Tuple[FastState, SliceOutput]:
+    """One slice step over (N,) deduped event coordinates."""
+    c = cfg.max_clusters
+    n = x.shape[0]
+    pts = jnp.stack([x, y], axis=1).astype(jnp.float32)
+
+    # ---- 1. assignment to start-of-slice means (Manhattan, gated)
+    d = jnp.sum(jnp.abs(pts[:, None, :] - state.mu[None, :, :]), axis=-1)  # (N, C)
+    d = jnp.where(state.alive[None, :], d, jnp.inf)
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.min(d, axis=1)
+    assigned = valid & (best_d <= cfg.radius)
+    labels = jnp.where(assigned, best, -1)
+
+    # ---- 2. seed new clusters from orphan events via grid cells
+    cell_w = max(int(cfg.radius), 1)
+    ncx = -(-sensor.width // cell_w)
+    cell = (y // cell_w) * ncx + (x // cell_w)
+    cell = jnp.where(valid & ~assigned, cell % grid_cells, grid_cells).astype(jnp.int32)
+    cell_cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell,
+                                   num_segments=grid_cells + 1)[:grid_cells]
+    cell_sum = jax.ops.segment_sum(jnp.where((cell < grid_cells)[:, None], pts, 0.0),
+                                   cell, num_segments=grid_cells + 1)[:grid_cells]
+    occupied = cell_cnt > 0
+    # rank occupied cells by count (big first) and take up to the free capacity
+    free = ~state.alive
+    n_free = jnp.sum(free.astype(jnp.int32))
+    order_val = jnp.where(occupied, -cell_cnt, 1)
+    cell_rank = jnp.argsort(order_val)  # occupied cells first, biggest first
+    # slot assignment: k-th occupied cell -> k-th free cluster slot
+    free_slots = jnp.argsort(jnp.where(free, jnp.arange(c), _BIG))  # free slots first
+    n_occ = jnp.sum(occupied.astype(jnp.int32))
+    n_new = jnp.minimum(n_occ, n_free)
+    take = jnp.arange(c) < n_new               # positions in free_slots to fill
+    src_cell = cell_rank[jnp.clip(jnp.arange(c), 0, grid_cells - 1)]
+    seed_mu = cell_sum[src_cell] / jnp.maximum(cell_cnt[src_cell], 1)[:, None]
+
+    slot_for_pos = free_slots                 # (C,) cluster slot for position k
+    alive = state.alive.at[slot_for_pos].set(
+        jnp.where(take, True, state.alive[slot_for_pos]))
+    mu = state.mu.at[slot_for_pos].set(
+        jnp.where(take[:, None], seed_mu, state.mu[slot_for_pos]))
+    new_cid = state.next_cid + jnp.cumsum(take.astype(jnp.int32)) - 1
+    cid = state.cid.at[slot_for_pos].set(
+        jnp.where(take, new_cid, state.cid[slot_for_pos]))
+    new_order = state.next_order + jnp.cumsum(take.astype(jnp.int32)) - 1
+    corder = state.corder.at[slot_for_pos].set(
+        jnp.where(take, new_order, state.corder[slot_for_pos]))
+    next_cid = state.next_cid + n_new
+    next_order = state.next_order + n_new
+    # fresh slots start with cleared windows / prev-centroids
+    rc = state.ring_count.at[slot_for_pos].set(
+        jnp.where(take[:, None], 0, state.ring_count[slot_for_pos]))
+    rs = state.ring_sum.at[slot_for_pos].set(
+        jnp.where(take[:, None, None], 0.0, state.ring_sum[slot_for_pos]))
+    has_prev = state.has_prev.at[slot_for_pos].set(
+        jnp.where(take, False, state.has_prev[slot_for_pos]))
+    centroid_prev = state.centroid_prev.at[slot_for_pos].set(
+        jnp.where(take[:, None], 0.0, state.centroid_prev[slot_for_pos]))
+
+    # route orphan events to their seeded cluster slot
+    # position of an occupied cell in the ranked order:
+    pos_of_cell = jnp.zeros((grid_cells,), jnp.int32).at[cell_rank].set(
+        jnp.arange(grid_cells, dtype=jnp.int32))
+    ev_pos = pos_of_cell[jnp.clip(cell, 0, grid_cells - 1)]
+    ev_seeded = valid & ~assigned & (cell < grid_cells) & (ev_pos < n_new)
+    ev_slot = slot_for_pos[jnp.clip(ev_pos, 0, c - 1)]
+    labels = jnp.where(ev_seeded, ev_slot, labels)
+    member = labels >= 0
+
+    # ---- 3. EWMA means (closed form of the per-event recurrence)
+    mu, k_c = _ewma_closed_form(mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha)
+
+    # ---- 4. windowed membership aggregates
+    head = state.ring_head
+    cnt_slice = jax.ops.segment_sum(member.astype(jnp.int32),
+                                    jnp.where(member, labels, c),
+                                    num_segments=c + 1)[:c]
+    sum_slice = jax.ops.segment_sum(jnp.where(member[:, None], pts, 0.0),
+                                    jnp.where(member, labels, c),
+                                    num_segments=c + 1)[:c]
+    rc = rc.at[:, head].set(cnt_slice)
+    rs = rs.at[:, head].set(sum_slice)
+    n_window = jnp.sum(rc, axis=1)
+    sum_window = jnp.sum(rs, axis=1)
+    centroid = sum_window / jnp.maximum(n_window, 1)[:, None].astype(jnp.float32)
+
+    # ---- 5. merge clusters with means within radius (weighted, min-order wins)
+    dmu = jnp.sum(jnp.abs(mu[:, None, :] - mu[None, :, :]), axis=-1)
+    adj = (dmu <= cfg.radius) & alive[:, None] & alive[None, :]
+    # connected components by min-order label propagation (C small: iterate)
+    comp = jnp.where(alive, corder, _BIG)
+
+    def prop(_, comp):
+        neigh = jnp.where(adj, comp[None, :], _BIG)
+        return jnp.minimum(comp, jnp.min(neigh, axis=1))
+
+    comp = jax.lax.fori_loop(0, 8, prop, comp)
+    is_root = alive & (comp == corder)
+    # For each cluster, find its root slot: the alive slot with corder == comp.
+    eq = alive[None, :] & (corder[None, :] == comp[:, None])       # (C, C)
+    root_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    merged_into = jnp.where(alive, root_slot, jnp.arange(c, dtype=jnp.int32))
+
+    wm = n_window.astype(jnp.float32)
+    mu_num = jax.ops.segment_sum(wm[:, None] * mu, merged_into, num_segments=c)
+    mu_den = jax.ops.segment_sum(wm, merged_into, num_segments=c)
+    mu = jnp.where(is_root[:, None], mu_num / jnp.maximum(mu_den, 1.0)[:, None], mu)
+    # windows merge additively onto the root
+    rc = jax.ops.segment_sum(rc, merged_into, num_segments=c)
+    rs = jax.ops.segment_sum(rs, merged_into, num_segments=c)
+    rc = jnp.where(is_root[:, None], rc, 0)
+    rs = jnp.where(is_root[:, None, None], rs, 0.0)
+    labels = jnp.where(member, merged_into[jnp.clip(labels, 0, c - 1)], labels)
+    alive = is_root
+    n_window = jnp.sum(rc, axis=1)
+    sum_window = jnp.sum(rs, axis=1)
+    centroid = sum_window / jnp.maximum(n_window, 1)[:, None].astype(jnp.float32)
+
+    # ---- expiry: no members anywhere in the window
+    alive = alive & (n_window > 0)
+
+    # ---- 6. flow vs previous reported centroid (per persistent cluster)
+    reported = alive & (n_window >= cfg.min_n)
+    flow = jnp.where((reported & has_prev)[:, None],
+                     centroid - centroid_prev, 0.0)
+    centroid_prev = jnp.where(reported[:, None], centroid, centroid_prev)
+    has_prev = has_prev | reported
+
+    new_state = FastState(
+        alive=alive, cid=cid, corder=jnp.where(alive, corder, _BIG), mu=mu,
+        ring_count=rc, ring_sum=rs,
+        ring_head=(head + 1) % state.ring_count.shape[1],
+        centroid_prev=centroid_prev, has_prev=has_prev & alive,
+        next_cid=next_cid, next_order=next_order,
+    )
+    out = SliceOutput(alive=alive, reported=reported, cid=cid, n=n_window,
+                      centroid=centroid, flow=flow, labels=labels)
+    return new_state, out

@@ -1,0 +1,241 @@
+"""End-to-end pipelines — the engine's "model families".
+
+One engine replaces the reference's eight app monoliths (SURVEY §2.1):
+
+  ClusterFlowPipeline  = app E (flagship): 50 ms slices → hash-grid dedup →
+    incremental clustering → per-cluster centroid flow arrows
+    (event-cam-clustering-accel/event-cam-clustering-downsampling-accel/
+     metavision_sdk_get_started5_opencl_store.cpp:370-568)
+    Also covers app H (event-cam-tracking-with-estimator: 1/512 decimation +
+    AEClustering + ×3-extrapolated arrows) via config.
+
+  CornerTrackPipeline  = app G: SAE time surface → eFAST corners → NMS →
+    CornerTracker with groups
+    (event-cam-tracking/event-cam-fast-corner-tracker/
+     metavision_time_surface_periodic_group_track.cpp:741-1102)
+
+Each pipeline is a jitted fixed-shape per-slice step plus a host driver that
+iterates recorded slices. `mode="fast"` uses the slice-vectorized clustering
+(models/fastcluster.py); `mode="exact"` runs the bit-parity per-event engine
+(models/aeclustering.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, DEFAULT
+from ..io.events import EventStream
+from ..io.slicing import EventSlices, slice_by_count, slice_by_time
+from ..ops import hash_dedup, sae as sae_ops, efast, nms as nms_ops
+from . import aeclustering, fastcluster, tracker as tracker_mod
+
+
+# --------------------------------------------------------------------------
+# Flagship: dedup → cluster → centroid flow (app E / H)
+# --------------------------------------------------------------------------
+
+class ClusterFlowOutput(NamedTuple):
+    unique_count: jnp.ndarray    # int32 ()
+    repeated_count: jnp.ndarray  # int32 ()
+    reported: jnp.ndarray        # bool (C,)
+    cid: jnp.ndarray             # int32 (C,)
+    n: jnp.ndarray               # int32 (C,)
+    centroid: jnp.ndarray        # float32 (C, 2)
+    flow: jnp.ndarray            # float32 (C, 2) extrapolated displacement
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cluster_flow_step(
+    state: fastcluster.FastState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: EngineConfig = DEFAULT,
+) -> Tuple[fastcluster.FastState, ClusterFlowOutput]:
+    """One slice of the flagship pipeline (fast mode)."""
+    ded = hash_dedup.dedup(x, y, valid, cfg.dedup, cfg.sensor)
+    lane = jnp.arange(x.shape[0])
+    uvalid = lane < ded.unique_count
+    if cfg.dedup.compat_stride2:
+        # reference consumes every 2nd unique coordinate (stride 4 over the
+        # interleaved array, accel …store.cpp:435-445)
+        uvalid = uvalid & (lane % 2 == 0)
+    state, out = fastcluster.update_slice(
+        state, ded.unique_x, ded.unique_y, uvalid, cfg.cluster, cfg.sensor)
+    flow = out.flow * cfg.flow.extrapolation
+    return state, ClusterFlowOutput(
+        unique_count=ded.unique_count, repeated_count=ded.repeated_count,
+        reported=out.reported, cid=out.cid, n=out.n,
+        centroid=out.centroid, flow=flow)
+
+
+@dataclasses.dataclass
+class ClusterFlowPipeline:
+    cfg: EngineConfig = DEFAULT
+
+    def init_state(self) -> fastcluster.FastState:
+        return fastcluster.init_state(self.cfg.cluster)
+
+    def run(self, stream: EventStream) -> List[ClusterFlowOutput]:
+        cfg = self.cfg
+        if cfg.slicing.mode == "n_us":
+            slices = slice_by_time(stream, cfg.slicing.n_us, cfg.slicing.n_events)
+        else:
+            slices = slice_by_count(stream, cfg.slicing.n_events)
+        state = self.init_state()
+        outs = []
+        mask = slices.valid_mask()
+        for s in range(slices.num_slices):
+            state, out = cluster_flow_step(
+                state, jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
+                jnp.asarray(mask[s]), cfg)
+            outs.append(jax.device_get(out))
+        return outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cluster_flow_scan(state, xs, ys, valids, cfg: EngineConfig = DEFAULT):
+    """lax.scan over all slices at once — the benchmark entry (keeps the whole
+    sequence on-device; one dispatch)."""
+    def step(st, ev):
+        x, y, v = ev
+        return cluster_flow_step(st, x, y, v, cfg)
+
+    return jax.lax.scan(step, state, (xs, ys, valids))
+
+
+# --------------------------------------------------------------------------
+# Exact-mode flagship (bit-parity path, app E semantics per event)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cluster_flow_step_exact(
+    state: aeclustering.AEState,
+    x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+    cfg: EngineConfig = DEFAULT,
+) -> Tuple[aeclustering.AEState, aeclustering.ClusterView]:
+    ded = hash_dedup.dedup(x, y, valid, cfg.dedup, cfg.sensor)
+    lane = jnp.arange(x.shape[0])
+    uvalid = lane < ded.unique_count
+    # reference fabricates timestamps uniqueCount/1000 for the cluster engine
+    # (accel …store.cpp:439); we pass through real slice times by default —
+    # compat mode uses the fabricated monotonic counter.
+    tt = jnp.where(uvalid, jnp.max(jnp.where(valid, t, 0)), 0)
+    state = aeclustering.update_slice(
+        state, ded.unique_x, ded.unique_y, tt, jnp.zeros_like(ded.unique_x),
+        uvalid, cfg.cluster)
+    return state, aeclustering.snapshot(state, cfg.cluster)
+
+
+# --------------------------------------------------------------------------
+# Corner tracking: SAE → eFAST → NMS → tracker (app G)
+# --------------------------------------------------------------------------
+
+class CornerTrackState(NamedTuple):
+    sae: jnp.ndarray
+    tracks: tracker_mod.TrackState
+    slice_idx: jnp.ndarray   # int32 () — detection starts after first slice
+
+
+class CornerTrackOutput(NamedTuple):
+    num_corners: jnp.ndarray     # int32 () raw eFAST detections
+    num_filtered: jnp.ndarray    # int32 () after NMS
+    track_active: jnp.ndarray    # bool (T,)
+    track_label: jnp.ndarray     # int32 (T,)
+    track_pos: jnp.ndarray       # float32 (T, 2)
+    track_vel: jnp.ndarray       # float32 (T, 2)
+    track_group: jnp.ndarray     # int32 (T,)
+    groups: tracker_mod.GroupView
+
+
+def init_corner_state(cfg: EngineConfig = DEFAULT) -> CornerTrackState:
+    return CornerTrackState(
+        sae=sae_ops.init_sae(cfg.sensor),
+        tracks=tracker_mod.init_state(cfg.tracker),
+        slice_idx=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def corner_track_step(
+    state: CornerTrackState,
+    x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+    cfg: EngineConfig = DEFAULT,
+) -> Tuple[CornerTrackState, CornerTrackOutput]:
+    """One 16384-event slice of the corner pipeline.
+
+    Reference order (group_track.cpp:884-1070): per event, update SAE then run
+    eFAST against the *current* surface. Slice-vectorized approximation:
+    scatter the whole slice into the SAE first, then detect on all slice
+    events (each event sees the full slice's surface instead of the prefix —
+    strictly more context; detection still keyed to this slice's events).
+    Detection is skipped for the first slice (time_surface_flag, :926).
+    """
+    new_sae = sae_ops.update_sae(state.sae, x, y, t, valid)
+    corner_mask = efast.detect_corners(new_sae, x, y, valid, cfg.efast, cfg.sensor)
+    corner_mask = corner_mask & (state.slice_idx > 0)
+    n_corners = jnp.sum(corner_mask.astype(jnp.int32))
+
+    # compact candidates (stream order) to the NMS capacity
+    cap = cfg.nms.max_corners
+    pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
+    keep = corner_mask & (pos < cap)
+    spos = jnp.where(keep, pos, cap)
+    cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(jnp.where(keep, x, 0),
+                                                       mode="drop")[:cap]
+    cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(jnp.where(keep, y, 0),
+                                                       mode="drop")[:cap]
+    cvalid = jnp.arange(cap) < jnp.minimum(n_corners, cap)
+
+    filt = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms)
+    det_valid = jnp.arange(cap) < filt.count
+
+    tracks, groups = tracker_mod.update(
+        state.tracks, filt.x.astype(jnp.float32), filt.y.astype(jnp.float32),
+        det_valid, cfg.tracker)
+
+    out = CornerTrackOutput(
+        num_corners=n_corners, num_filtered=filt.count,
+        track_active=tracks.active, track_label=tracks.label,
+        track_pos=tracks.pos, track_vel=tracks.velocity,
+        track_group=tracks.group_id, groups=groups)
+    return CornerTrackState(sae=new_sae, tracks=tracks,
+                            slice_idx=state.slice_idx + 1), out
+
+
+@dataclasses.dataclass
+class CornerTrackPipeline:
+    cfg: EngineConfig = DEFAULT
+
+    def run(self, stream: EventStream) -> List[CornerTrackOutput]:
+        cfg = self.cfg
+        slices = slice_by_count(stream, cfg.slicing.n_events)
+        # rebase times so int32 SAE never wraps
+        t0 = int(stream.t[0]) if len(stream) else 0
+        state = init_corner_state(cfg)
+        outs = []
+        mask = slices.valid_mask()
+        for s in range(slices.num_slices):
+            state, out = corner_track_step(
+                state,
+                jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
+                jnp.asarray((slices.t[s] - t0).astype(np.int32)),
+                jnp.asarray(mask[s]), cfg)
+            outs.append(jax.device_get(out))
+        return outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def corner_track_scan(state, xs, ys, ts, valids, cfg: EngineConfig = DEFAULT):
+    def step(st, ev):
+        x, y, t, v = ev
+        return corner_track_step(st, x, y, t, v, cfg)
+
+    return jax.lax.scan(step, state, (xs, ys, ts, valids))

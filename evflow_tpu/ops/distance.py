@@ -49,8 +49,13 @@ def assign_to_centers(
     and scans centers in order keeping strictly-closer ones, so ties keep the
     *first* center — jnp.argmin has the same first-min tie-break. Points with
     no center under the gate get label -1 (kernel's uchar 255).
+
+    Uses the exact (N, K, D) difference form rather than the |a|²+|b|²-2ab MXU
+    trick: K is small here and the cancellation error of the matmul form
+    (~|a|²·eps) is large enough to flip labels near Voronoi boundaries.
     """
-    d = jnp.sqrt(pairwise_sqdist(points, centers))
+    diff = points[:, None, :].astype(jnp.float32) - centers[None, :, :].astype(jnp.float32)
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     labels = jnp.argmin(d, axis=1).astype(jnp.int32)
     best = jnp.min(d, axis=1)
     gated = best < threshold

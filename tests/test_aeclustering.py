@@ -1,0 +1,130 @@
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evflow_tpu.config import ClusterConfig
+from evflow_tpu.models import aeclustering as ae
+from evflow_tpu.models.aeclustering_oracle import AEClusteringOracle
+from evflow_tpu.io import load_csv, synthetic
+from tests.conftest import DATA_DIR
+
+
+def _run_engine(xs, ys, ts, ps, cfg):
+    st = ae.init_state(cfg)
+    n = len(xs)
+    st = ae.update_slice(st, jnp.asarray(xs, jnp.int32), jnp.asarray(ys, jnp.int32),
+                         jnp.asarray(ts, jnp.int32), jnp.asarray(ps, jnp.int32),
+                         jnp.ones(n, bool), cfg)
+    return st, ae.snapshot(st, cfg)
+
+
+def _run_oracle(xs, ys, ts, ps, cfg):
+    o = AEClusteringOracle(cfg)
+    for x, y, t, p in zip(xs, ys, ts, ps):
+        o.update(int(x), int(y), int(t), int(p))
+    return o
+
+
+def _compare(view, oracle, cfg, atol=1e-2):
+    """Clusters match as unordered sets keyed by deque order."""
+    alive = np.asarray(view.alive)
+    order = np.asarray(view.order)[alive]
+    n = np.asarray(view.n)[alive]
+    mu = np.asarray(view.mu)[alive]
+    cen = np.asarray(view.centroid)[alive]
+    cid = np.asarray(view.cid)[alive]
+    perm = np.argsort(order)   # deque order
+    got = [(int(cid[i]), int(n[i]), tuple(mu[i]), tuple(cen[i])) for i in perm]
+    exp = oracle.live_stats()
+    # drop oracle's lingering empties (engine removes them identically; both
+    # keep them on merge updates) — compare only non-empty clusters
+    exp_live = [e for e in exp if e[1] > 0]
+    got_live = [g for g in got if g[1] > 0]
+    assert len(got_live) == len(exp_live), (got_live, exp_live)
+    for g, e in zip(got_live, exp_live):
+        assert g[0] == e[0], (g, e)              # persistent cluster id
+        assert g[1] == e[1], (g, e)              # membership count
+        np.testing.assert_allclose(g[2], e[2], atol=atol)  # EWMA mean
+        np.testing.assert_allclose(g[3], e[3], atol=atol)  # centroid
+
+
+CFG = ClusterConfig(sz_buffer=100, radius=20.0, min_n=3,
+                    max_clusters=64, max_members=256)
+
+
+def test_single_blob_single_cluster():
+    rng = np.random.default_rng(0)
+    n = 200
+    xs = rng.integers(95, 106, n); ys = rng.integers(95, 106, n)
+    ts = np.arange(n) * 10
+    ps = np.zeros(n, np.int32)
+    _, view = _run_engine(xs, ys, ts, ps, CFG)
+    o = _run_oracle(xs, ys, ts, ps, CFG)
+    _compare(view, o, CFG)
+    alive = np.asarray(view.alive)
+    assert alive.sum() == 1
+
+
+def test_two_blobs_two_clusters():
+    rng = np.random.default_rng(1)
+    n = 300
+    which = rng.integers(0, 2, n)
+    cx = np.where(which, 100, 400); cy = np.where(which, 100, 300)
+    xs = cx + rng.integers(-5, 6, n); ys = cy + rng.integers(-5, 6, n)
+    ts = np.arange(n) * 10
+    ps = np.zeros(n, np.int32)
+    _, view = _run_engine(xs, ys, ts, ps, CFG)
+    o = _run_oracle(xs, ys, ts, ps, CFG)
+    _compare(view, o, CFG)
+
+
+def test_forgetting_expires_members():
+    # 50 events at one spot, a long silence (> window), then 50 elsewhere
+    xs = np.concatenate([np.full(50, 100), np.full(50, 500)])
+    ys = np.concatenate([np.full(50, 100), np.full(50, 400)])
+    ts = np.concatenate([np.arange(50) * 10, 100_000 + np.arange(50) * 10])
+    ps = np.zeros(100, np.int32)
+    cfg = ClusterConfig(sz_buffer=60, radius=20.0, min_n=3,
+                        max_clusters=32, max_members=128)
+    _, view = _run_engine(xs, ys, ts, ps, cfg)
+    o = _run_oracle(xs, ys, ts, ps, cfg)
+    _compare(view, o, cfg)
+
+
+def test_merge_path():
+    # Two clusters form then an event lands between them within radius of both.
+    xs = [100]*10 + [130]*10 + [115]
+    ys = [100]*10 + [100]*10 + [100]
+    n = len(xs)
+    ts = np.arange(n) * 10
+    ps = np.zeros(n, np.int32)
+    cfg = ClusterConfig(sz_buffer=100, radius=16.0, min_n=3,
+                        max_clusters=32, max_members=128)
+    _, view = _run_engine(np.array(xs), np.array(ys), ts, ps, cfg)
+    o = _run_oracle(xs, ys, ts, ps, cfg)
+    assert len(o.clusters) == 1   # oracle merged
+    _compare(view, o, cfg)
+
+
+def test_random_stress_matches_oracle():
+    rng = np.random.default_rng(7)
+    n = 400
+    xs = rng.integers(0, 300, n); ys = rng.integers(0, 200, n)
+    ts = np.cumsum(rng.integers(1, 20, n)).astype(np.int64)
+    ps = rng.integers(0, 2, n)
+    cfg = ClusterConfig(sz_buffer=80, radius=30.0, min_n=3,
+                        max_clusters=128, max_members=256)
+    _, view = _run_engine(xs, ys, ts, ps, cfg)
+    o = _run_oracle(xs, ys, ts, ps, cfg)
+    _compare(view, o, cfg)
+
+
+def test_fixture_csv_matches_oracle():
+    s = load_csv(os.path.join(DATA_DIR, "event_raw_data8.csv"))
+    cfg = ClusterConfig(sz_buffer=100, radius=20.0, min_n=5,
+                        max_clusters=128, max_members=256)
+    _, view = _run_engine(s.x, s.y, s.t, s.p, cfg)
+    o = _run_oracle(s.x, s.y, s.t, s.p, cfg)
+    _compare(view, o, cfg)

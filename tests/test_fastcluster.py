@@ -1,0 +1,125 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from evflow_tpu.config import ClusterConfig, SensorConfig, EngineConfig, SliceConfig
+from evflow_tpu.models import fastcluster as fc
+from evflow_tpu.models import pipeline
+from evflow_tpu.io import synthetic, slice_by_count
+
+CFG = ClusterConfig(sz_buffer=800, radius=40.0, min_n=10, max_clusters=64)
+SENSOR = SensorConfig()
+
+
+def _slice_events(cx_list, n_per, sigma, seed):
+    rng = np.random.default_rng(seed)
+    pts = np.concatenate([
+        np.stack([rng.normal(cx, sigma, n_per), rng.normal(cy, sigma, n_per)], 1)
+        for cx, cy in cx_list])
+    pts = np.clip(np.round(pts), 0, 1000).astype(np.int32)
+    rng.shuffle(pts)
+    return pts[:, 0], pts[:, 1]
+
+
+def test_blobs_form_clusters_and_flow():
+    state = fc.init_state(CFG)
+    centers = [(200.0, 200.0), (700.0, 400.0)]
+    vel = np.array([[15.0, 5.0], [-10.0, 8.0]])
+    outs = []
+    for s in range(6):
+        cs = [(c[0] + vel[i][0] * s, c[1] + vel[i][1] * s)
+              for i, c in enumerate(centers)]
+        x, y = _slice_events(cs, 400, 8.0, seed=s)
+        n = len(x)
+        state, out = fc.update_slice(state, jnp.asarray(x), jnp.asarray(y),
+                                     jnp.ones(n, bool), CFG, SENSOR)
+        outs.append(out)
+    rep = np.asarray(outs[-1].reported)
+    assert rep.sum() == 2
+    cents = np.asarray(outs[-1].centroid)[rep]
+    expected = np.array([(c[0] + vel[i][0] * 5, c[1] + vel[i][1] * 5)
+                         for i, c in enumerate(centers)])
+    # each expected blob center recovered within a few px
+    for e in expected:
+        assert np.min(np.linalg.norm(cents - e, axis=1)) < 6.0
+    # flow approximates ground-truth per-slice velocity
+    flows = np.asarray(outs[-1].flow)[rep]
+    cids = np.asarray(outs[-1].cid)[rep]
+    for f in flows:
+        d = np.linalg.norm(vel - f, axis=1)
+        assert d.min() < 4.0
+
+
+def test_persistent_ids_stable_across_slices():
+    state = fc.init_state(CFG)
+    ids_seen = []
+    for s in range(4):
+        x, y = _slice_events([(300.0 + 10 * s, 300.0)], 300, 6.0, seed=10 + s)
+        state, out = fc.update_slice(state, jnp.asarray(x), jnp.asarray(y),
+                                     jnp.ones(len(x), bool), CFG, SENSOR)
+        rep = np.asarray(out.reported)
+        ids_seen.append(np.asarray(out.cid)[rep].tolist())
+    assert all(ids == ids_seen[1] for ids in ids_seen[1:])
+
+
+def test_cluster_expiry():
+    state = fc.init_state(CFG, window_slices=2)
+    x, y = _slice_events([(300.0, 300.0)], 300, 6.0, seed=3)
+    state, out = fc.update_slice(state, jnp.asarray(x), jnp.asarray(y),
+                                 jnp.ones(len(x), bool), CFG, SENSOR)
+    assert np.asarray(out.alive).sum() >= 1
+    # empty slices: cluster must die once the window drains
+    empty = jnp.zeros((len(x),), jnp.int32)
+    for _ in range(3):
+        state, out = fc.update_slice(state, empty, empty,
+                                     jnp.zeros(len(x), bool), CFG, SENSOR)
+    assert np.asarray(out.alive).sum() == 0
+
+
+def test_nearby_clusters_merge():
+    cfg = ClusterConfig(sz_buffer=800, radius=50.0, min_n=5, max_clusters=64)
+    state = fc.init_state(cfg)
+    # two blobs drifting into each other
+    for s in range(5):
+        gap = 200 - 45 * s
+        x, y = _slice_events([(400.0 - gap / 2, 300.0), (400.0 + gap / 2, 300.0)],
+                             200, 5.0, seed=20 + s)
+        state, out = fc.update_slice(state, jnp.asarray(x), jnp.asarray(y),
+                                     jnp.ones(len(x), bool), cfg, SENSOR)
+    assert np.asarray(out.alive).sum() == 1   # merged
+
+
+def test_flagship_pipeline_runs_end_to_end():
+    stream = synthetic.moving_blob_stream(
+        num_slices=5, events_per_slice=4096,
+        blob_centers=((300.0, 300.0), (800.0, 400.0)),
+        velocities=((20.0, 0.0), (0.0, 15.0)), sigma=10.0)
+    cfg = EngineConfig(slicing=SliceConfig(n_events=4096, mode="n_events"),
+                       cluster=ClusterConfig(radius=40.0, min_n=10, max_clusters=64))
+    pipe = pipeline.ClusterFlowPipeline(cfg)
+    outs = pipe.run(stream)
+    assert len(outs) == 5
+    last = outs[-1]
+    rep = np.asarray(last.reported)
+    assert rep.sum() == 2
+    assert int(last.unique_count) > 0
+    flows = np.asarray(last.flow)[rep]
+    # ground-truth velocities are (20,0) and (0,15) px/slice
+    gts = np.array([[20.0, 0.0], [0.0, 15.0]])
+    for g in gts:
+        assert np.min(np.linalg.norm(flows - g, axis=1)) < 5.0
+
+
+def test_corner_pipeline_runs_end_to_end():
+    stream = synthetic.moving_edge_stream(num_slices=4, events_per_slice=4096)
+    cfg = EngineConfig(slicing=SliceConfig(n_events=4096, mode="n_events"))
+    pipe = pipeline.CornerTrackPipeline(cfg)
+    outs = pipe.run(stream)
+    assert len(outs) == 4
+    # corners appear after the first slice
+    assert int(outs[0].num_corners) == 0
+    assert any(int(o.num_corners) > 0 for o in outs[1:])
+    assert any(int(o.num_filtered) > 0 for o in outs[1:])
+    # NMS reduces corner count
+    for o in outs[1:]:
+        assert int(o.num_filtered) <= int(o.num_corners)

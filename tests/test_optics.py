@@ -1,0 +1,200 @@
+"""OPTICS tests — the reference's own unit vectors ported as golden oracles
+(optics-clustering/test/test_main.cpp; SURVEY §4 directs adopting them
+verbatim: chi tests, ε bounds, clustering membership tests)."""
+
+import os
+import numpy as np
+import pytest
+
+from evflow_tpu.models import optics
+from evflow_tpu.models.optics import (ReachabilityDist, compute_reachability_dists,
+                                      epsilon_estimation, get_cluster_indices,
+                                      get_chi_clusters_flat, flat_clusters_to_tree,
+                                      get_chi_clusters, ClusterNode)
+from tests.conftest import DATA_DIR
+
+
+# ---------------------------------------------------------------- clustering
+
+def test_clustering_test_1():  # test_main.cpp:12-31
+    points = np.array([[100, 100], [102, 100], [101, 101],
+                       [-1, 0], [1, 0], [0, 1],
+                       [-100, -100], [-102, -100], [-101, -101]], np.float64)
+    rd = compute_reachability_dists(points, 2, 10)
+    clusters = get_cluster_indices(rd, 10)
+    assert len(clusters) == 3
+    assert sorted(clusters[0]) == [0, 1, 2]
+    assert sorted(clusters[1]) == [3, 4, 5]
+    assert sorted(clusters[2]) == [6, 7, 8]
+
+
+def test_clustering_test_2_auto_epsilon():  # test_main.cpp:34-57
+    points = np.array([[100, 100], [102, 100], [101, 101],
+                       [-1, 0], [1, 0], [0, 1],
+                       [-100, -100], [-102, -100], [-101, -101]], np.float64)
+    rd = compute_reachability_dists(points, 2)   # auto ε
+    clusters = get_cluster_indices(rd, 2)
+    assert len(clusters) == 3
+    assert sorted(clusters[0]) == [0, 1, 2]
+    assert sorted(clusters[1]) == [3, 4, 5]
+    assert sorted(clusters[2]) == [6, 7, 8]
+
+
+# ---------------------------------------------------------------- epsilon
+
+def test_epsilon_estimation_1():  # test_main.cpp:91-102
+    points = np.array([[0, 0], [1, 0], [0, 1], [10, 0], [0, 10],
+                       [6, 6], [4, 4], [10, 10], [9, 10], [10, 9]], np.float64)
+    eps = epsilon_estimation(points, 3)
+    assert 3.09019 < eps < 3.090196
+
+
+def test_epsilon_estimation_2():  # test_main.cpp:103-114
+    points = np.array([[0, 0, 0], [1, 0, 0], [0, 0, 1], [0, 1, 0],
+                       [5, 0, 0], [0, 5, 0], [0, 0, 5], [5, 5, 5]], np.float64)
+    eps = epsilon_estimation(points, 3)
+    assert 2.236750 < eps < 2.236751
+
+
+# ---------------------------------------------------------------- chi tests
+
+def _rd(pairs):
+    return [ReachabilityDist(i, d) for i, d in pairs]
+
+
+CHI1 = [(1, 10.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+        (7, 6.5), (8, 3.0), (9, 2.9), (10, 2.8), (11, 10.0), (12, 12.0)]
+
+
+def test_chi_1():  # test_main.cpp:117-133
+    assert get_chi_clusters_flat(_rd(CHI1), 0.1, 4) == [(2, 5), (0, 11), (6, 10)]
+
+
+def test_chi_2():
+    rd = _rd(CHI1 + [(13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9), (17, 5.0)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == [(2, 5), (0, 10), (6, 10), (11, 16)]
+
+
+def test_chi_3():
+    rd = _rd([(1, 11.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+              (7, 6.5), (8, 3.0), (9, 2.9), (10, 2.8), (11, 10.0), (12, 10.0),
+              (13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9), (17, 12.0)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == \
+        [(2, 5), (0, 9), (6, 10), (0, 16), (11, 16)]
+
+
+def test_chi_4_5():
+    for last in (11.0, 12.0):
+        rd = _rd([(1, 12.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+                  (7, 6.5), (8, 3.0), (9, 2.9), (10, 2.8), (11, 10.0), (12, 10.0),
+                  (13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9), (17, last)])
+        assert get_chi_clusters_flat(rd, 0.1, 4) == \
+            [(2, 5), (0, 9), (6, 10), (0, 16), (11, 16)]
+
+
+def test_chi_6():
+    rd = _rd([(1, 12.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+              (7, 6.5), (8, 3.0), (9, 2.9), (10, 2.8), (11, 10.0), (12, 10.0),
+              (13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == \
+        [(2, 5), (0, 9), (6, 10), (2, 15), (11, 15)]
+
+
+def test_chi_7():
+    rd = _rd([(1, 12.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+              (7, 11.0), (8, 3.0), (9, 2.9), (10, 2.8), (11, 9.89), (12, 9.89),
+              (13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == \
+        [(0, 5), (6, 9), (6, 15), (11, 15)]
+
+
+def test_chi_8():
+    rd = _rd([(1, 12.0), (2, 9.0), (3, 9.0), (4, 5.0), (5, 5.49), (6, 5.0),
+              (7, 11.0), (8, 3.0), (9, 2.9), (10, 2.8), (11, 9.89), (12, 9.91),
+              (13, 4.0), (14, 4.1), (15, 4.0), (16, 3.9)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == [(0, 5), (6, 9), (11, 15)]
+
+
+def test_chi_9():
+    rd = _rd([(0, 5.0), (1, 5.49), (2, 5.0), (3, 11.0), (4, 3.0), (5, 2.9),
+              (6, 2.8), (7, 9.89), (8, 9.9), (9, 4.0), (10, 4.1), (11, 4.0),
+              (12, 3.9)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == \
+        [(0, 2), (3, 6), (3, 12), (8, 12)]
+
+
+def test_chi_10():
+    rd = _rd([(0, 5.0), (1, 5.49), (2, 5.0), (3, 11.0), (4, 3.0), (5, 2.9),
+              (6, 2.8), (7, 9.89), (8, 9.91), (9, 4.0), (10, 4.1), (11, 4.0),
+              (12, 3.9)])
+    assert get_chi_clusters_flat(rd, 0.1, 4) == [(0, 2), (3, 6), (8, 12)]
+
+
+def _load_chi11():
+    data = np.loadtxt(os.path.join(DATA_DIR, "chi_test_11_reachability.csv"),
+                      delimiter=",", skiprows=1)
+    return [ReachabilityDist(int(i), float(d)) for i, d in data]
+
+
+def test_chi_11_regression_vector_a():  # 700+-point committed regression
+    rd = _load_chi11()
+    clusters = get_chi_clusters_flat(rd, 0.02, 5, 0.15)
+    assert clusters == [(155, 162), (203, 225), (295, 299), (300, 304),
+                        (271, 358), (270, 372), (150, 407), (422, 493),
+                        (590, 607), (626, 642), (412, 684), (700, 711)]
+
+
+def test_chi_11_regression_vector_b():
+    rd = _load_chi11()
+    clusters = get_chi_clusters_flat(rd, 0.1, 8, 0.02)
+    assert clusters == [(155, 160), (208, 217), (276, 321), (271, 355),
+                        (150, 407), (425, 470), (425, 487), (598, 606),
+                        (626, 642), (623, 650), (412, 684), (700, 711)]
+
+
+# ---------------------------------------------------------------- tree tests
+
+def test_cluster_tree():  # chi_cluster_tree_tests, test_main.cpp:504-566
+    flat = [(2, 5), (0, 11), (6, 10)]
+    trees = flat_clusters_to_tree(flat)
+    assert len(trees) == 1
+    root = trees[0]
+    assert root.data == (0, 11)
+    assert [c.data for c in root.children] == [(2, 5), (6, 10)]
+    assert root.depth() == 2
+    assert root.size() == 3
+
+
+def test_cluster_tree_nested():
+    flat = [(1, 2), (0, 5), (3, 4), (0, 20), (7, 9)]
+    trees = flat_clusters_to_tree(flat)
+    assert len(trees) == 1
+    root = trees[0]
+    assert root.data == (0, 20)
+    kids = sorted(c.data for c in root.children)
+    assert kids == [(0, 5), (7, 9)]
+
+
+# ---------------------------------------------------------------- integration
+
+def test_integration_three_gaussian_clusters():
+    rng = np.random.default_rng(3)
+    pts = np.concatenate([
+        rng.normal((0, 0), 1.0, (50, 2)),
+        rng.normal((30, 0), 1.0, (50, 2)),
+        rng.normal((0, 30), 1.0, (50, 2)),
+    ])
+    rd = compute_reachability_dists(pts, min_pts=5, epsilon=5.0)
+    clusters = [c for c in get_cluster_indices(rd, 5.0) if len(c) >= 10]
+    assert len(clusters) == 3
+    sizes = sorted(len(c) for c in clusters)
+    assert sizes == [50, 50, 50]
+
+
+def test_export_reachability(tmp_path):
+    rd = _rd(CHI1[:4])
+    p = str(tmp_path / "r.csv")
+    optics.export_reachability_dists(rd, p)
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "PointIndex;ReachabilityDistance"
+    assert len(lines) == 5
