@@ -135,11 +135,14 @@ class ReachabilityDist(NamedTuple):
 def compute_reachability_dists(points: np.ndarray, min_pts: int,
                                epsilon: float = -1.0,
                                max_neighbors: int = 256,
-                               block: int = 2048) -> List[ReachabilityDist]:
+                               block: int = 2048,
+                               use_native: bool = True) -> List[ReachabilityDist]:
     """Full OPTICS: TPU ε-neighborhoods, host seed-queue sweep.
 
     Returns the ordered list of (point_index, reach_dist); unreached points
-    carry -1.0 — exactly the reference output contract.
+    carry -1.0 — exactly the reference output contract. The sweep runs in the
+    native C++ runtime (evflow_tpu/native/evio.cpp) when available, else the
+    equivalent Python heap loop below.
     """
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
@@ -154,6 +157,13 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
     nbr_idx = np.asarray(table.idx)
     nbr_dist = np.asarray(table.dist, dtype=np.float64)
     core_dist = np.asarray(table.core_dist, dtype=np.float64)
+
+    if use_native:
+        from .. import native
+        res = native.optics_sweep(nbr_idx, nbr_dist, core_dist)
+        if res is not None:
+            order, reach = res
+            return [ReachabilityDist(int(i), float(reach[i])) for i in order]
 
     processed = np.zeros(n, dtype=bool)
     reachability = np.full(n, -1.0)

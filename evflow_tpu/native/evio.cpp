@@ -1,0 +1,191 @@
+// evio — native runtime for the evflow-tpu engine.
+//
+// TPU-native counterpart of the reference's native host layer: the Metavision
+// callback ingest + ring-buffer batcher (accel …store.cpp:570-611) and the
+// OPTICS sequential sweep that stays on the host (optics.hpp:525-555) while
+// the TPU does the ε-neighborhood precompute. Exposed as a C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC evio.cpp -o libevio.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSV event reader: parses "x,y[,t[,p]]" integer rows at fread speed.
+// Returns number of events parsed, or -1 on open failure. Caller provides
+// capacity-sized buffers; rows beyond capacity are dropped.
+// ---------------------------------------------------------------------------
+int64_t evio_load_csv(const char* path, int32_t* xs, int32_t* ys, int64_t* ts,
+                      int32_t* ps, int64_t capacity) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  // Read whole file.
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(sz + 1);
+  size_t rd = fread(buf.data(), 1, sz, f);
+  fclose(f);
+  buf[rd] = '\0';
+
+  int64_t n = 0;
+  const char* p = buf.data();
+  const char* end = buf.data() + rd;
+  while (p < end && n < capacity) {
+    // skip blank / header lines that don't start with a digit or '-'
+    if (!((*p >= '0' && *p <= '9') || *p == '-')) {
+      while (p < end && *p != '\n') p++;
+      if (p < end) p++;
+      continue;
+    }
+    int64_t vals[4] = {0, 0, n, 0};  // default t = row index, p = 0
+    int col = 0;
+    while (p < end && *p != '\n') {
+      bool neg = false;
+      if (*p == '-') { neg = true; p++; }
+      int64_t v = 0;
+      while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+      if (col < 4) vals[col] = neg ? -v : v;
+      col++;
+      if (p < end && *p == ',') p++;
+      else break;
+    }
+    while (p < end && *p != '\n') p++;
+    if (p < end) p++;
+    if (col >= 2) {
+      xs[n] = (int32_t)vals[0];
+      ys[n] = (int32_t)vals[1];
+      ts[n] = vals[2];
+      ps[n] = (int32_t)vals[3];
+      n++;
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Ring-buffer batcher: interleaves x,y into a fixed int ring with wraparound,
+// replicating aggregate_events_fct (accel …store.cpp:587-599) for parity
+// tests of the compat path.
+// ---------------------------------------------------------------------------
+void evio_ring_fill(const int32_t* xs, const int32_t* ys, int64_t n,
+                    int32_t* ring, int64_t ring_size, int64_t* cursor) {
+  int64_t c = *cursor;
+  for (int64_t i = 0; i < n; i++) {
+    ring[c] = xs[i];
+    c++;
+    ring[c] = ys[i];
+    c++;
+    if (c > ring_size - 1) c = 0;
+  }
+  *cursor = c;
+}
+
+// ---------------------------------------------------------------------------
+// OPTICS sweep (optics.hpp:525-555): seed priority queue ordered by
+// (reach_dist, point_index) — reference comparator hpp:67-69 — over
+// precomputed neighbor tables. Lazy-deletion binary heap.
+//   nbr_idx:  n*k int32, -1 padded
+//   nbr_dist: n*k float64, +inf padded
+//   core:     n float64 (+inf when undefined)
+// Outputs: order (n int64 visit order), reach (n float64, -1 unreached).
+// ---------------------------------------------------------------------------
+void optics_sweep(int64_t n, int64_t k, const int32_t* nbr_idx,
+                  const double* nbr_dist, const double* core, int64_t* order,
+                  double* reach) {
+  std::vector<uint8_t> processed(n, 0);
+  for (int64_t i = 0; i < n; i++) reach[i] = -1.0;
+  int64_t out = 0;
+
+  typedef std::pair<double, int64_t> Seed;
+  std::priority_queue<Seed, std::vector<Seed>, std::greater<Seed>> seeds;
+
+  for (int64_t start = 0; start < n; start++) {
+    if (processed[start]) continue;
+    processed[start] = 1;
+    order[out++] = start;
+    if (!(core[start] < 1e300)) continue;
+
+    // local lambda: relax neighbors of p
+    int64_t stack[1] = {start};
+    (void)stack;
+    {
+      const int32_t* ni = nbr_idx + start * k;
+      const double* nd = nbr_dist + start * k;
+      double cd = core[start];
+      for (int64_t j = 0; j < k; j++) {
+        int32_t o = ni[j];
+        if (o < 0 || !(nd[j] < 1e300)) break;
+        if (processed[o]) continue;
+        double r = cd > nd[j] ? cd : nd[j];
+        if (reach[o] < 0.0 || r < reach[o]) {
+          reach[o] = r;
+          seeds.push({r, o});
+        }
+      }
+    }
+    while (!seeds.empty()) {
+      Seed s = seeds.top();
+      seeds.pop();
+      int64_t idx = s.second;
+      if (processed[idx] || s.first != reach[idx]) continue;  // stale
+      processed[idx] = 1;
+      order[out++] = idx;
+      if (!(core[idx] < 1e300)) continue;
+      const int32_t* ni = nbr_idx + idx * k;
+      const double* nd = nbr_dist + idx * k;
+      double cd = core[idx];
+      for (int64_t j = 0; j < k; j++) {
+        int32_t o = ni[j];
+        if (o < 0 || !(nd[j] < 1e300)) break;
+        if (processed[o]) continue;
+        double r = cd > nd[j] ? cd : nd[j];
+        if (reach[o] < 0.0 || r < reach[o]) {
+          reach[o] = r;
+          seeds.push({r, o});
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Exact coordinate analyzer — the CPU dedup oracle (group_track.cpp:648-700)
+// but hash-map based (O(N) instead of O(N^2)). Returns unique count;
+// unique coords written in first-occurrence stream order.
+// ---------------------------------------------------------------------------
+int64_t evio_analyze_coordinates(const int32_t* xs, const int32_t* ys,
+                                 int64_t n, int32_t* ux, int32_t* uy) {
+  std::vector<int64_t> seen;
+  seen.reserve(n);
+  // simple open-addressing table keyed on (x<<32)|y
+  int64_t cap = 1;
+  while (cap < n * 2) cap <<= 1;
+  std::vector<int64_t> table(cap, -1);
+  int64_t uniq = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t key = ((int64_t)xs[i] << 32) | (uint32_t)ys[i];
+    int64_t h = (key * 0x9E3779B97F4A7C15LL) & (cap - 1);
+    bool found = false;
+    while (table[h] != -1) {
+      if (table[h] == key) { found = true; break; }
+      h = (h + 1) & (cap - 1);
+    }
+    if (!found) {
+      table[h] = key;
+      ux[uniq] = xs[i];
+      uy[uniq] = ys[i];
+      uniq++;
+    }
+  }
+  return uniq;
+}
+
+}  // extern "C"

@@ -1,0 +1,234 @@
+"""Spatial tiling of event slices across the device mesh (shard_map).
+
+Design (SURVEY §5 "long-context" analog): each slice's events are bucketed
+into vertical pixel bands (tiles), one band per device. The heavy per-event
+stages — hash dedup, SAE scatter, eFAST ring gather — run tile-parallel on
+local events; the small state updates (cluster set, tracker) run replicated
+on all devices over all-gathered compact summaries (deduped coords, corner
+lists), so every device holds an identical copy of the recurrent state with
+no divergence. eFAST needs 4 px of context across band borders: the SAE slabs
+carry halo columns refreshed by jax.lax.ppermute neighbor exchange each slice
+(the reference's merge_clusters_ has no distributed counterpart; the
+all-gather of per-tile unique coordinates plays that role here).
+
+Per-tile dedup semantics: tiles partition pixel space, so exact-mode dedup is
+identical to the single-device kernel; hash-mode gains per-tile bucket tables
+(fewer collisions than the reference's single 8192 table — strictly better,
+noted for parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import EngineConfig, DEFAULT
+from ..io.slicing import EventSlices
+from ..ops import hash_dedup, sae as sae_ops, efast, nms as nms_ops
+from ..models import fastcluster, tracker as tracker_mod
+from ..models.pipeline import CornerTrackState, CornerTrackOutput
+
+
+# --------------------------------------------------------------------------
+# Host-side tile bucketing
+# --------------------------------------------------------------------------
+
+def bucket_by_tile(x, y, t, p, valid, n_tiles: int, width: int, capacity: int):
+    """Split one slice's events into per-tile arrays (host-side, numpy).
+
+    Returns (n_tiles, capacity) arrays + per-tile counts. Events keep stream
+    order within a tile. Overflow beyond capacity is dropped (count reports
+    the kept number).
+    """
+    x = np.asarray(x); y = np.asarray(y); t = np.asarray(t); p = np.asarray(p)
+    valid = np.asarray(valid)
+    tile_w = -(-width // n_tiles)
+    tile = np.clip(x // tile_w, 0, n_tiles - 1)
+    ox = np.zeros((n_tiles, capacity), np.int32)
+    oy = np.zeros((n_tiles, capacity), np.int32)
+    ot = np.zeros((n_tiles, capacity), np.int32)
+    op = np.zeros((n_tiles, capacity), np.int32)
+    cnt = np.zeros((n_tiles,), np.int32)
+    for k in range(n_tiles):
+        sel = valid & (tile == k)
+        c = min(int(sel.sum()), capacity)
+        ox[k, :c] = x[sel][:c]
+        oy[k, :c] = y[sel][:c]
+        ot[k, :c] = t[sel][:c]
+        op[k, :c] = p[sel][:c]
+        cnt[k] = c
+    return ox, oy, ot, op, cnt
+
+
+# --------------------------------------------------------------------------
+# Tiled flagship step: dedup (tile-parallel) → cluster update (replicated)
+# --------------------------------------------------------------------------
+
+def make_tiled_cluster_flow_step(mesh: Mesh, cfg: EngineConfig = DEFAULT):
+    """Build the jitted shard_map step.
+
+    Inputs: state (replicated FastState), per-tile events
+    x,y (n_tiles, cap) sharded on the tile axis, valid likewise.
+    """
+    axis = cfg.parallel.tile_axis
+
+    def per_tile(state, x, y, valid):
+        # shapes inside: (1, cap) local block
+        xl, yl, vl = x[0], y[0], valid[0]
+        ded = hash_dedup.dedup(xl, yl, vl, cfg.dedup, cfg.sensor)
+        lane = jnp.arange(xl.shape[0])
+        uvalid = lane < ded.unique_count
+        # all-gather compact deduped coords across tiles → identical global
+        # list on every device (concat along leading axis)
+        gx = jax.lax.all_gather(ded.unique_x, axis).reshape(-1)
+        gy = jax.lax.all_gather(ded.unique_y, axis).reshape(-1)
+        gv = jax.lax.all_gather(uvalid, axis).reshape(-1)
+        new_state, out = fastcluster.update_slice(
+            state, gx, gy, gv, cfg.cluster, cfg.sensor)
+        # outputs replicated; unique counts summed for reporting
+        ucount = jax.lax.psum(ded.unique_count, axis)
+        rcount = jax.lax.psum(ded.repeated_count, axis)
+        return new_state, out, ucount, rcount
+
+    state_spec = jax.tree.map(lambda _: P(), fastcluster.init_state(cfg.cluster))
+    smapped = shard_map(
+        per_tile, mesh=mesh,
+        in_specs=(state_spec, P(axis), P(axis), P(axis)),
+        out_specs=(state_spec,
+                   jax.tree.map(lambda _: P(), _slice_output_struct(cfg)),
+                   P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def _slice_output_struct(cfg: EngineConfig):
+    c = cfg.cluster.max_clusters
+    z = jnp.zeros
+    return fastcluster.SliceOutput(
+        alive=z((c,), bool), reported=z((c,), bool), cid=z((c,), jnp.int32),
+        n=z((c,), jnp.int32), centroid=z((c, 2), jnp.float32),
+        flow=z((c, 2), jnp.float32), labels=z((0,), jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# Tiled corner step: SAE slabs with halo exchange → eFAST → gathered NMS/track
+# --------------------------------------------------------------------------
+
+class TiledCornerState(NamedTuple):
+    slab: jnp.ndarray                 # int32 (n_tiles, H, tile_w + 2*halo) sharded
+    tracks: tracker_mod.TrackState    # replicated
+    slice_idx: jnp.ndarray            # int32 () replicated
+
+
+def init_tiled_corner_state(mesh: Mesh, n_tiles: int,
+                            cfg: EngineConfig = DEFAULT) -> TiledCornerState:
+    h = cfg.sensor.height
+    tile_w = -(-cfg.sensor.width // n_tiles)
+    halo = cfg.parallel.halo
+    slab = jnp.zeros((n_tiles, h, tile_w + 2 * halo), jnp.int32)
+    slab = jax.device_put(slab, NamedSharding(mesh, P(cfg.parallel.tile_axis)))
+    return TiledCornerState(slab=slab, tracks=tracker_mod.init_state(cfg.tracker),
+                            slice_idx=jnp.int32(0))
+
+
+def make_tiled_corner_step(mesh: Mesh, n_tiles: int, cfg: EngineConfig = DEFAULT):
+    axis = cfg.parallel.tile_axis
+    halo = cfg.parallel.halo
+    h = cfg.sensor.height
+    tile_w = -(-cfg.sensor.width // n_tiles)
+
+    def per_tile(slab, tracks, slice_idx, x, y, t, valid):
+        sl = slab[0]                       # (H, tile_w + 2*halo)
+        xl, yl, tl, vl = x[0], y[0], t[0], valid[0]
+        my = jax.lax.axis_index(axis)
+        x0 = my * tile_w                   # global x of slab core column 0
+
+        # scatter local events into the slab core (local coords = x - x0 + halo)
+        lx = xl - x0 + halo
+        sl = sl.at[yl, lx].max(jnp.where(vl, tl, jnp.iinfo(jnp.int32).min),
+                               mode="drop")
+
+        # halo exchange: my right core edge → right neighbor's left halo, etc.
+        n = jax.lax.psum(1, axis)
+        # core columns span [halo, halo + tile_w); edges:
+        left_core = jax.lax.dynamic_slice_in_dim(sl, halo, halo, 1)
+        right_core = jax.lax.dynamic_slice_in_dim(sl, tile_w, halo, 1)
+        from_left = jax.lax.ppermute(right_core, axis,
+                                     [(i, (i + 1) % n) for i in range(n)])
+        from_right = jax.lax.ppermute(left_core, axis,
+                                      [(i, (i - 1) % n) for i in range(n)])
+        # install halos (edge tiles receive wrapped data but their halo region
+        # is outside the eFAST border margin anyway)
+        sl = jax.lax.dynamic_update_slice_in_dim(sl, from_left, 0, 1)
+        sl = jax.lax.dynamic_update_slice_in_dim(sl, from_right, tile_w + halo, 1)
+
+        # eFAST on local events against the slab (shifted sensor frame)
+        slab_sensor = cfg.sensor.__class__(width=tile_w + 2 * halo, height=h)
+        in_core = vl & (xl >= x0) & (xl < x0 + tile_w)
+        # border margin must respect the *global* frame, not the slab frame
+        gborder = (xl >= cfg.efast.border) & (xl < cfg.sensor.width - cfg.efast.border) \
+            & (yl >= cfg.efast.border) & (yl < h - cfg.efast.border)
+        corner_mask = efast.detect_corners(
+            sl, lx, yl, in_core & gborder & (slice_idx > 0),
+            cfg.efast, slab_sensor)
+        n_local = jnp.sum(corner_mask.astype(jnp.int32))
+
+        # compact local corners (global coords) and all-gather
+        cap = cfg.nms.max_corners
+        pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
+        keep = corner_mask & (pos < cap)
+        spos = jnp.where(keep, pos, cap)
+        cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
+            jnp.where(keep, xl, 0), mode="drop")[:cap]
+        cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
+            jnp.where(keep, yl, 0), mode="drop")[:cap]
+        cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
+
+        gx = jax.lax.all_gather(cx, axis).reshape(-1)[:cap]
+        gy = jax.lax.all_gather(cy, axis).reshape(-1)[:cap]
+        gvv = jax.lax.all_gather(cvalid, axis).reshape(-1)[:cap]
+        n_corners = jax.lax.psum(n_local, axis)
+
+        filt = nms_ops.filter_corners(gx, gy, gvv, cfg.nms)
+        det_valid = jnp.arange(cap) < filt.count
+        tracks, groups = tracker_mod.update(
+            tracks, filt.x.astype(jnp.float32), filt.y.astype(jnp.float32),
+            det_valid, cfg.tracker)
+
+        out = CornerTrackOutput(
+            num_corners=n_corners, num_filtered=filt.count,
+            track_active=tracks.active, track_label=tracks.label,
+            track_pos=tracks.pos, track_vel=tracks.velocity,
+            track_group=tracks.group_id, groups=groups)
+        return sl[None], tracks, slice_idx + 1, out
+
+    tr_spec = jax.tree.map(lambda _: P(), tracker_mod.init_state(cfg.tracker))
+    out_spec = jax.tree.map(lambda _: P(), _corner_output_struct(cfg))
+    smapped = shard_map(
+        per_tile, mesh=mesh,
+        in_specs=(P(axis), tr_spec, P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), tr_spec, P(), out_spec),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def _corner_output_struct(cfg: EngineConfig):
+    t = cfg.tracker.max_tracks
+    z = jnp.zeros
+    groups = tracker_mod.GroupView(
+        exists=z((t,), bool), centroid=z((t, 2), jnp.float32),
+        avg_velocity=z((t, 2), jnp.float32), radius=z((t,), jnp.float32),
+        size=z((t,), jnp.int32))
+    return CornerTrackOutput(
+        num_corners=jnp.int32(0), num_filtered=jnp.int32(0),
+        track_active=z((t,), bool), track_label=z((t,), jnp.int32),
+        track_pos=z((t, 2), jnp.float32), track_vel=z((t, 2), jnp.float32),
+        track_group=z((t,), jnp.int32), groups=groups)

@@ -1,0 +1,223 @@
+"""CLI — one engine, eight reference apps as subcommands.
+
+Usage:
+  python -m evflow_tpu.run cluster-flow   --input ev.csv [--out frames/]   # app E
+  python -m evflow_tpu.run async-cluster  --input ev.csv --decimate 256    # app A
+  python -m evflow_tpu.run track-estimate --input ev.csv --decimate 512    # app H
+  python -m evflow_tpu.run corner-track   --input ev.csv [--out frames/]   # app G
+  python -m evflow_tpu.run kmeans         [--n 2048]                       # app D
+  python -m evflow_tpu.run sampling       --input ev.csv                   # app F
+  python -m evflow_tpu.run optics         --input ev.csv [--eps 10]        # app B
+  python -m evflow_tpu.run dbscan         --input ev.csv [--eps 20]        # app C
+
+Each subcommand mirrors one reference executable (SURVEY §2.1 A-H), replacing
+OpenCV windows with PPM frame dumps / stdout stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load(args):
+    from .io import load, decimate
+    s = load(args.input)
+    if getattr(args, "decimate", 0) and args.decimate > 1:
+        s = decimate(s, args.decimate)
+    return s
+
+
+def cmd_cluster_flow(args):
+    """App E: hash dedup → clustering → centroid flow (accel …store.cpp)."""
+    from .config import DEFAULT
+    from .models.pipeline import ClusterFlowPipeline
+    from .utils.plots import render_cluster_frame
+    cfg = DEFAULT
+    pipe = ClusterFlowPipeline(cfg)
+    outs = pipe.run(_load(args))
+    for i, out in enumerate(outs):
+        rep = np.asarray(out.reported)
+        print(f"slice {i}: unique={int(out.unique_count)} "
+              f"clusters={int(rep.sum())}")
+        for c in np.where(rep)[0]:
+            cen = np.asarray(out.centroid)[c]
+            fl = np.asarray(out.flow)[c]
+            print(f"  cid={int(np.asarray(out.cid)[c])} n={int(np.asarray(out.n)[c])} "
+                  f"centroid=({cen[0]:.2f},{cen[1]:.2f}) flow=({fl[0]:.2f},{fl[1]:.2f})")
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            img = render_cluster_frame(cfg.sensor.width, cfg.sensor.height, out)
+            img.save(os.path.join(args.out, f"cluster_frame_combined{i}"))
+
+
+def cmd_async_cluster(args):
+    """App A: decimated stream → AEClustering (exact engine)."""
+    from .config import DEFAULT, ClusterConfig
+    from .models import aeclustering as ae
+    import jax.numpy as jnp
+    s = _load(args)
+    cfg = ClusterConfig.async_app()
+    st = ae.init_state(cfg)
+    n = len(s)
+    st = ae.update_slice(st, jnp.asarray(s.x), jnp.asarray(s.y),
+                         jnp.asarray(s.t - s.t[0], jnp.int32), jnp.asarray(s.p),
+                         jnp.ones(n, bool), cfg)
+    view = ae.snapshot(st, cfg)
+    alive = np.asarray(view.alive)
+    print(f"events={n} clusters={int(alive.sum())}")
+    for i in np.where(alive)[0]:
+        if int(np.asarray(view.n)[i]) >= cfg.min_n:
+            c = np.asarray(view.centroid)[i]
+            print(f"  cid={int(np.asarray(view.cid)[i])} n={int(np.asarray(view.n)[i])} "
+                  f"centroid=({c[0]:.2f},{c[1]:.2f})")
+
+
+def cmd_track_estimate(args):
+    """App H: 1/512 decimation → clustering → ×3 extrapolated flow arrows."""
+    import dataclasses
+    from .config import DEFAULT, ClusterConfig, FlowConfig
+    from .models.pipeline import ClusterFlowPipeline
+    cfg = dataclasses.replace(DEFAULT, cluster=ClusterConfig.tracking_app(),
+                              flow=FlowConfig(extrapolation=3.0))
+    pipe = ClusterFlowPipeline(cfg)
+    outs = pipe.run(_load(args))
+    for i, out in enumerate(outs):
+        rep = np.asarray(out.reported)
+        arrows = [(np.asarray(out.centroid)[c].tolist(),
+                   np.asarray(out.flow)[c].tolist()) for c in np.where(rep)[0]]
+        print(f"slice {i}: {len(arrows)} velocity arrows "
+              + " ".join(f"({a[0][0]:.0f},{a[0][1]:.0f})→+({a[1][0]:.1f},{a[1][1]:.1f})"
+                         for a in arrows))
+
+
+def cmd_corner_track(args):
+    """App G: SAE → eFAST → NMS → tracker with groups."""
+    from .config import DEFAULT
+    from .models.pipeline import CornerTrackPipeline
+    pipe = CornerTrackPipeline(DEFAULT)
+    outs = pipe.run(_load(args))
+    for i, out in enumerate(outs):
+        act = np.asarray(out.track_active)
+        ng = int(np.asarray(out.groups.exists).sum())
+        print(f"slice {i}: corners={int(out.num_corners)} "
+              f"filtered={int(out.num_filtered)} tracks={int(act.sum())} groups={ng}")
+
+
+def cmd_kmeans(args):
+    """App D: OpenCL k-means on the i%100 synthetic ramp."""
+    import jax.numpy as jnp
+    from .config import KMeansConfig
+    from .io import synthetic
+    from .models.kmeans import kmeans
+    pts = synthetic.kmeans_ramp_data(args.n)
+    init = synthetic.kmeans_initial_centroids()
+    res = kmeans(jnp.asarray(pts), jnp.asarray(init), cfg=KMeansConfig())
+    print(f"iters={int(res.iters)} error_max={float(res.error_max):.3f}")
+    for j, (c, n) in enumerate(zip(np.asarray(res.centroids),
+                                   np.asarray(res.counts))):
+        print(f"  ({c[0]:.4f}, {c[1]:.4f}, {int(n)})")
+
+
+def cmd_sampling(args):
+    """App F: standalone downsampling benchmark (per-slice dedup stats)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from .config import DEFAULT
+    from .io import slice_by_count
+    from .ops.hash_dedup import dedup_batched
+    cfg = DEFAULT
+    s = _load(args)
+    sl = slice_by_count(s, cfg.slicing.n_events)
+    x = jnp.asarray(sl.x); y = jnp.asarray(sl.y)
+    v = jnp.asarray(sl.valid_mask())
+    res = dedup_batched(x, y, v, cfg.dedup, cfg.sensor)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    res = dedup_batched(x, y, v, cfg.dedup, cfg.sensor)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    for i in range(sl.num_slices):
+        print(f"slice {i}: events={int(sl.count[i])} "
+              f"unique={int(res.unique_count[i])} repeated={int(res.repeated_count[i])}")
+    total = int(sl.count.sum())
+    print(f"Total time = {dt*1e9:.0f} ns  ({total/dt:.0f} events/s)")
+
+
+def cmd_optics(args):
+    """App B: OPTICS reachability clustering + centroid report."""
+    from .models import optics
+    s = _load(args)
+    pts = np.stack([s.x, s.y], axis=1).astype(np.float64)
+    rd = optics.compute_reachability_dists(pts, args.min_pts, args.eps)
+    clusters = optics.get_cluster_indices(rd, args.threshold)
+    print(f"Cluster size : {len(clusters)}")
+    for j, c in enumerate(clusters):
+        p = pts[np.asarray(c, int)]
+        print(f"{j},{len(c)},{p[:,0].mean():g},{p[:,1].mean():g},"
+              f"{p[:,0].var():g},{p[:,1].var():g}")
+    if args.export:
+        optics.export_reachability_dists(rd, args.export)
+
+
+def cmd_dbscan(args):
+    """App C: DBSCAN clustering with CSV export."""
+    import jax.numpy as jnp
+    from .config import DBSCANConfig
+    from .models.dbscan import dbscan
+    s = _load(args)
+    pts = np.stack([s.x, s.y], axis=1).astype(np.float32)
+    cfg = DBSCANConfig(eps=args.eps, core_min_pts=args.min_pts,
+                       min_cluster_size=args.min_cluster_size)
+    res = dbscan(jnp.asarray(pts), cfg=cfg)
+    labels = np.asarray(res.labels)
+    print(f"clusters={int(res.num_clusters)}")
+    if args.export:
+        with open(args.export, "w") as f:
+            for (x, y), l in zip(pts, labels):
+                f.write(f"{x},{y},{l}\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="evflow_tpu.run")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **extra):
+        p = sub.add_parser(name, help=fn.__doc__)
+        p.set_defaults(fn=fn)
+        if extra.get("input", True):
+            p.add_argument("--input", required=extra.get("input_required", True))
+        p.add_argument("--out", default="")
+        p.add_argument("--decimate", type=int, default=extra.get("decimate", 0))
+        return p
+
+    add("cluster-flow", cmd_cluster_flow)
+    add("async-cluster", cmd_async_cluster, decimate=256)
+    add("track-estimate", cmd_track_estimate, decimate=512)
+    add("corner-track", cmd_corner_track)
+    p = sub.add_parser("kmeans", help=cmd_kmeans.__doc__)
+    p.set_defaults(fn=cmd_kmeans)
+    p.add_argument("--n", type=int, default=2048)
+    add("sampling", cmd_sampling)
+    p = add("optics", cmd_optics)
+    p.add_argument("--eps", type=float, default=10.0)
+    p.add_argument("--min-pts", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=10.0)
+    p.add_argument("--export", default="")
+    p = add("dbscan", cmd_dbscan)
+    p.add_argument("--eps", type=float, default=20.0)
+    p.add_argument("--min-pts", type=int, default=20)
+    p.add_argument("--min-cluster-size", type=int, default=100)
+    p.add_argument("--export", default="")
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,10 @@ def _slice_events(cx_list, n_per, sigma, seed):
 
 
 def test_blobs_form_clusters_and_flow():
-    state = fc.init_state(CFG)
+    # window_slices=1: centroid = current-slice mean (the default multi-slice
+    # window lags a moving blob by ~(R-1)/2 slices of velocity, as does the
+    # reference's 800-event window)
+    state = fc.init_state(CFG, window_slices=1)
     centers = [(200.0, 200.0), (700.0, 400.0)]
     vel = np.array([[15.0, 5.0], [-10.0, 8.0]])
     outs = []

@@ -1,0 +1,73 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from evflow_tpu.utils.ppm import BGRImage
+from evflow_tpu.utils import plots, checkpoint, profiling
+from evflow_tpu.models.optics import ReachabilityDist
+from evflow_tpu.models import fastcluster, tracker
+from evflow_tpu.config import ClusterConfig, TrackerConfig
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = BGRImage(16, 8, fill=(10, 20, 30))
+    img.set_pixel(3, 4, (255, 0, 0))
+    img.line(0, 0, 15, 7, (0, 255, 0))
+    img.circle(8, 4, 3, (0, 0, 255))
+    p = img.save(str(tmp_path / "test"))
+    assert p.endswith(".ppm")
+    back = BGRImage.load(p)
+    np.testing.assert_array_equal(back.px, img.px)
+
+
+def test_line_endpoints():
+    img = BGRImage(10, 10, fill=(0, 0, 0))
+    img.line(1, 1, 8, 5, (255, 255, 255))
+    assert img.get_pixel(1, 1) == (255, 255, 255)
+    assert img.get_pixel(8, 5) == (255, 255, 255)
+
+
+def test_reachability_plot_renders():
+    rd = [ReachabilityDist(0, -1.0)] + \
+         [ReachabilityDist(i, 5.0 + (i % 7)) for i in range(1, 60)]
+    img = plots.draw_reachability_plot(rd)
+    assert img.width >= 100 and img.height == 256
+    img2 = plots.draw_reachability_plot_with_chi_clusters(rd, 0.1, 4)
+    assert img2.height > 256
+
+
+def test_2d_cluster_plot():
+    cl = [np.array([[0, 0], [5, 5], [3, 2]]), np.array([[50, 50], [55, 52]])]
+    img = plots.draw_2d_clusters(cl)
+    assert img.width >= 55 and img.height >= 52
+
+
+def test_checkpoint_roundtrip_fastcluster(tmp_path):
+    cfg = ClusterConfig(max_clusters=8)
+    st = fastcluster.init_state(cfg)
+    st = st._replace(next_cid=jnp.int32(5), alive=st.alive.at[2].set(True))
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save_npz(p, st)
+    back = checkpoint.restore_npz(p, fastcluster.init_state(cfg))
+    assert int(back.next_cid) == 5
+    assert bool(np.asarray(back.alive)[2])
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    st = fastcluster.init_state(ClusterConfig(max_clusters=8))
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save_npz(p, st)
+    with pytest.raises(AssertionError):
+        checkpoint.restore_npz(p, fastcluster.init_state(ClusterConfig(max_clusters=16)))
+
+
+def test_stopwatch_and_meter():
+    sw = profiling.Stopwatch()
+    sw.lap()
+    assert sw.elapsed() >= 0
+    assert len(sw.elapsed_laps()) == 1
+    m = profiling.ThroughputMeter()
+    m.add_slice(100)
+    m.add_slice(200)
+    assert m.events == 300 and m.slices == 2
+    assert "events_per_s" in m.report()
