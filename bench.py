@@ -24,6 +24,8 @@ BASELINE_EVENTS_PER_S = 16384 / 0.05  # 327,680 — reference slice cadence
 
 
 def main():
+    import evflow_tpu
+    evflow_tpu.setup_cache()
     from evflow_tpu.config import DEFAULT
     from evflow_tpu.io import synthetic, slice_by_count
     from evflow_tpu.models import fastcluster, pipeline

@@ -1,0 +1,68 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""OPTICS benchmark — the reference harness re-run on TPU.
+
+Mirrors optics-clustering/test/Benchmark/benchmark.cpp:62-103 (seeded uniform
+clouds, dim × n_points × min_pts sweep, mean of laps) and writes the same
+`benchmark.csv` schema (`dimension;n_points;volume;min_clustersize;time`).
+
+Reference numbers to beat (BASELINE.md, Xeon E3-1225 V2):
+  d=2, n=100k, min_pts=10: ~294-298 ms/run (kd-tree backend, 1 thread)
+  d=3 / d=4 / d=6, n=100k: ~344-376 / ~378-514 / ~677-1422 ms
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from evflow_tpu.io.synthetic import uniform_cloud
+from evflow_tpu.models import optics
+
+
+def run_once(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
+             laps: int = 3, max_neighbors: int = 256):
+    pts = uniform_cloud(n_points, dim, volume, seed=1)
+    # warm-up lap compiles the neighbor kernel for this shape
+    optics.compute_reachability_dists(pts, min_pts, max_neighbors=max_neighbors)
+    times = []
+    for _ in range(laps):
+        t0 = time.perf_counter()
+        rd = optics.compute_reachability_dists(pts, min_pts,
+                                               max_neighbors=max_neighbors)
+        times.append(time.perf_counter() - t0)
+    assert len(rd) == n_points
+    return min(times), sum(times) / len(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="benchmark.csv")
+    args = ap.parse_args()
+
+    if args.quick:
+        grid = [(2, 10_000, 10), (2, 100_000, 10)]
+    else:
+        grid = [(2, 100_000, 10), (3, 100_000, 10), (4, 100_000, 10),
+                (6, 100_000, 10), (2, 10_000, 10), (1, 500_000, 500),
+                (10, 10_000, 10), (64, 1_000, 10)]
+
+    rows = []
+    for dim, n, mp in grid:
+        best, mean = run_once(n, dim, mp)
+        ref = {(2, 100_000): 0.294, (3, 100_000): 0.344, (4, 100_000): 0.378,
+               (6, 100_000): 0.677, (2, 10_000): 0.020,
+               (1, 500_000): 12.4}.get((dim, n))
+        speedup = f"  ({ref/best:.1f}x vs reference)" if ref else ""
+        print(f"d={dim} n={n} min_pts={mp}: best={best*1e3:.1f} ms "
+              f"mean={mean*1e3:.1f} ms{speedup}")
+        rows.append((dim, n, 1000.0, mp, mean))
+
+    with open(args.out, "w") as f:
+        f.write("dimension;n_points;volume;min_clustersize;time\n")
+        for r in rows:
+            f.write(";".join(str(v) for v in r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,8 @@ def _member_stats(state: AEState, px, py, c: int):
     n_c = jax.ops.segment_sum(ones, ids, num_segments=c + 1)[:c]
     d = (jnp.abs(state.mx - px) + jnp.abs(state.my - py)).astype(jnp.float32)
     d = jnp.where(state.mcid >= 0, d, _INF)
-    dmin_c = jax.ops.segment_min(d, ids, num_segments=c + 1)[:c]
+    from ..ops.segment import scatter_min
+    dmin_c = scatter_min(d, ids, c + 1, _INF)[:c]
     return n_c, dmin_c
 
 

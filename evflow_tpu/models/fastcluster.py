@@ -151,47 +151,48 @@ def update_slice(
     cell_sum = jax.ops.segment_sum(jnp.where((cell < grid_cells)[:, None], pts, 0.0),
                                    cell, num_segments=grid_cells + 1)[:grid_cells]
     occupied = cell_cnt > 0
-    # rank occupied cells by count (big first) and take up to the free capacity
     free = ~state.alive
     n_free = jnp.sum(free.astype(jnp.int32))
-    order_val = jnp.where(occupied, -cell_cnt, 1)
-    cell_rank = jnp.argsort(order_val)  # occupied cells first, biggest first
-    # slot assignment: k-th occupied cell -> k-th free cluster slot
-    free_slots = jnp.argsort(jnp.where(free, jnp.arange(c), _BIG))  # free slots first
     n_occ = jnp.sum(occupied.astype(jnp.int32))
-    n_new = jnp.minimum(n_occ, n_free)
-    take = jnp.arange(c) < n_new               # positions in free_slots to fill
-    src_cell = cell_rank[jnp.clip(jnp.arange(c), 0, grid_cells - 1)]
-    seed_mu = cell_sum[src_cell] / jnp.maximum(cell_cnt[src_cell], 1)[:, None]
-
-    slot_for_pos = free_slots                 # (C,) cluster slot for position k
-    alive = state.alive.at[slot_for_pos].set(
-        jnp.where(take, True, state.alive[slot_for_pos]))
-    mu = state.mu.at[slot_for_pos].set(
-        jnp.where(take[:, None], seed_mu, state.mu[slot_for_pos]))
-    new_cid = state.next_cid + jnp.cumsum(take.astype(jnp.int32)) - 1
-    cid = state.cid.at[slot_for_pos].set(
-        jnp.where(take, new_cid, state.cid[slot_for_pos]))
-    new_order = state.next_order + jnp.cumsum(take.astype(jnp.int32)) - 1
-    corder = state.corder.at[slot_for_pos].set(
-        jnp.where(take, new_order, state.corder[slot_for_pos]))
+    n_new = jnp.minimum(jnp.minimum(n_occ, n_free), c)
+    take = jnp.arange(c) < n_new               # seeding positions to fill
+    # Rank occupied cells in cell-index order (cumsum — no sorts: argsort-fed
+    # scatters hit a pathological Mosaic lowering, SURVEY of this backend) and
+    # map rank k -> k-th occupied cell via a drop-scatter. Cells beyond the
+    # free capacity are dropped in cell-index order rather than by size.
+    occ_rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    rank_pos = jnp.where(occupied & (occ_rank < c), occ_rank, c)
+    cell_of_rank = jnp.full((c + 1,), 0, jnp.int32).at[rank_pos].set(
+        jnp.arange(grid_cells, dtype=jnp.int32), mode="drop")[:c]
+    seed_mu = cell_sum[cell_of_rank] / jnp.maximum(cell_cnt[cell_of_rank], 1)[:, None]
+    # Seeding position of each slot: the k-th free slot takes seeding position
+    # k (< n_new). Expressed as ONE scatter (the inverse free-rank map) and
+    # per-field gathers/selects — scatter-heavy graphs send this backend's
+    # compiler into a multi-minute fusion search, and the aliased
+    # gather-modify-scatter form arr.at[p].set(where(take, new, arr[p])) is
+    # worse still (422 s compile, 25 ms/step measured).
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    pos_of_slot = jnp.where(free & (free_rank < n_new), free_rank, c)
+    seeded_slot = pos_of_slot < c                      # this slot seeds now
+    pgather = jnp.clip(pos_of_slot, 0, c - 1)
+    alive = state.alive | seeded_slot
+    mu = jnp.where(seeded_slot[:, None], seed_mu[pgather], state.mu)
+    cid = jnp.where(seeded_slot, state.next_cid + pgather, state.cid)
+    corder = jnp.where(seeded_slot, state.next_order + pgather, state.corder)
     next_cid = state.next_cid + n_new
     next_order = state.next_order + n_new
     # fresh slots start with cleared windows / prev-centroids
-    rc = state.ring_count.at[slot_for_pos].set(
-        jnp.where(take[:, None], 0, state.ring_count[slot_for_pos]))
-    rs = state.ring_sum.at[slot_for_pos].set(
-        jnp.where(take[:, None, None], 0.0, state.ring_sum[slot_for_pos]))
-    has_prev = state.has_prev.at[slot_for_pos].set(
-        jnp.where(take, False, state.has_prev[slot_for_pos]))
-    centroid_prev = state.centroid_prev.at[slot_for_pos].set(
-        jnp.where(take[:, None], 0.0, state.centroid_prev[slot_for_pos]))
+    rc = jnp.where(seeded_slot[:, None], 0, state.ring_count)
+    rs = jnp.where(seeded_slot[:, None, None], 0.0, state.ring_sum)
+    has_prev = jnp.where(seeded_slot, False, state.has_prev)
+    centroid_prev = jnp.where(seeded_slot[:, None], 0.0, state.centroid_prev)
 
-    # route orphan events to their seeded cluster slot
-    # position of an occupied cell in the ranked order:
-    pos_of_cell = jnp.zeros((grid_cells,), jnp.int32).at[cell_rank].set(
-        jnp.arange(grid_cells, dtype=jnp.int32))
-    ev_pos = pos_of_cell[jnp.clip(cell, 0, grid_cells - 1)]
+    # slot for seeding position k (one scatter: invert pos_of_slot)
+    slot_for_pos = jnp.full((c + 1,), c, jnp.int32).at[pos_of_slot].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop")[:c]
+
+    # route orphan events to their seeded cluster slot (cell's seeding rank)
+    ev_pos = occ_rank[jnp.clip(cell, 0, grid_cells - 1)]
     ev_seeded = valid & ~assigned & (cell < grid_cells) & (ev_pos < n_new)
     ev_slot = slot_for_pos[jnp.clip(ev_pos, 0, c - 1)]
     labels = jnp.where(ev_seeded, ev_slot, labels)

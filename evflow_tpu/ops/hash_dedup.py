@@ -70,8 +70,8 @@ def dedup(
     idx = jnp.arange(n, dtype=jnp.int32)
 
     # First occupant per bucket = min event index in the bucket.
-    winner = jax.ops.segment_min(idx, key, num_segments=nkeys + 1,
-                                 indices_are_sorted=False, unique_indices=False)
+    from .segment import scatter_min
+    winner = scatter_min(idx, key, nkeys + 1, jnp.int32(2**31 - 1))
     unique_mask = ok & (winner[key] == idx)
 
     # Bucket occupancy for repeated_count (buckets hit >= 2 times; cl:73-75).

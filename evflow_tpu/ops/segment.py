@@ -17,6 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def scatter_min(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                num_segments: int, fill) -> jnp.ndarray:
+    """Per-segment min via a direct scatter-min (jax.ops.segment_min compiles
+    pathologically slowly on the TPU backend — 73 s vs 0.9 s for the scatter)."""
+    init = jnp.full((num_segments,), fill, values.dtype)
+    return init.at[segment_ids].min(values, mode="drop")
+
+
+def scatter_max(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                num_segments: int, fill) -> jnp.ndarray:
+    init = jnp.full((num_segments,), fill, values.dtype)
+    return init.at[segment_ids].max(values, mode="drop")
+
+
 def masked_segment_sum(values: jnp.ndarray, segment_ids: jnp.ndarray,
                        num_segments: int, valid: jnp.ndarray) -> jnp.ndarray:
     """segment_sum with invalid lanes parked in an overflow segment.

@@ -1,19 +1,23 @@
-"""Test harness: run JAX on a virtual 8-device CPU mesh.
+"""Test harness.
 
-Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on host-platform virtual devices (the driver separately dry-runs the
-multi-chip path via __graft_entry__.dryrun_multichip).
+Tests run on the CPU backend by default: results are bit-identical to TPU for
+these integer/float32 kernels, XLA:CPU compiles the big pipeline graphs ~100x
+faster than the remote TPU compiler, and an 8-virtual-device host platform
+exercises the sharding paths. Set EVFLOW_TEST_TPU=1 to run the suite on the
+attached TPU instead (the benchmark and __graft_entry__ always use the TPU).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
+
+if not os.environ.get("EVFLOW_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
