@@ -1,0 +1,85 @@
+"""Scaling-efficiency harness: events/s across mesh sizes.
+
+BASELINE.md target: events/s at 1 chip / 1 host / N>=2 hosts with >=80 %
+scaling efficiency. With one attached chip, multi-device scaling runs on the
+virtual host platform (correctness + collective overhead shape); on a real pod
+slice the same harness runs unchanged (`--platform tpu`).
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--max-devices", type=int, default=8)
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--cap", type=int, default=4096, help="events per tile per slice")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.max_devices}").strip()
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import evflow_tpu
+    evflow_tpu.setup_cache()
+    from evflow_tpu.config import EngineConfig, SensorConfig, ClusterConfig
+    from evflow_tpu.parallel import mesh as mesh_mod, tiling
+    from evflow_tpu.models import fastcluster
+
+    navail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= min(navail, args.max_devices)]
+    results = {}
+    rng = np.random.default_rng(0)
+
+    for n_dev in sizes:
+        tile_w = 1280 // n_dev
+        cfg = EngineConfig(sensor=SensorConfig(width=tile_w * n_dev, height=720),
+                           cluster=ClusterConfig(radius=40.0, min_n=10,
+                                                 max_clusters=64))
+        m = mesh_mod.make_tile_mesh(n_dev, cfg.parallel)
+        step = tiling.make_tiled_cluster_flow_step(m, cfg)
+        ts = mesh_mod.tile_sharding(m, cfg.parallel)
+        cap = args.cap
+        state = fastcluster.init_state(cfg.cluster)
+        xs, ys, vs = [], [], []
+        for s in range(args.slices):
+            x = np.zeros((n_dev, cap), np.int32)
+            y = np.zeros((n_dev, cap), np.int32)
+            for k in range(n_dev):
+                x[k] = rng.integers(k * tile_w, (k + 1) * tile_w, cap)
+                y[k] = rng.integers(0, 720, cap)
+            xs.append(x); ys.append(y); vs.append(np.ones((n_dev, cap), bool))
+        xs = [jax.device_put(jnp.asarray(a), ts) for a in xs]
+        ys = [jax.device_put(jnp.asarray(a), ts) for a in ys]
+        vs = [jax.device_put(jnp.asarray(a), ts) for a in vs]
+
+        # warm-up/compile
+        st, out, uc, rc = step(state, xs[0], ys[0], vs[0])
+        jax.block_until_ready(st)
+        best = float("inf")
+        for _ in range(3):
+            st = state
+            t0 = time.perf_counter()
+            for s in range(args.slices):
+                st, out, uc, rc = step(st, xs[s], ys[s], vs[s])
+            jax.block_until_ready(st)
+            best = min(best, time.perf_counter() - t0)
+        ev_per_s = n_dev * cap * args.slices / best
+        results[n_dev] = ev_per_s
+        base = results[sizes[0]] * n_dev / sizes[0]
+        eff = ev_per_s / base if base else 0.0
+        print(f"devices={n_dev:2d}  {ev_per_s/1e6:7.2f} M events/s  "
+              f"scaling efficiency={eff*100:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
