@@ -43,8 +43,10 @@ def hash_coordinate(x: jnp.ndarray, y: jnp.ndarray, cfg: DedupConfig) -> jnp.nda
 
 def _keys(x, y, valid, cfg: DedupConfig, sensor: SensorConfig):
     if cfg.exact:
-        nkeys = sensor.npixels
-        key = y * sensor.width + x
+        # width+1 stride: the reference's inclusive range check (cl:56) admits
+        # x == width, which must not alias pixel (0, y+1)
+        nkeys = (sensor.width + 1) * (sensor.height + 1)
+        key = y * (sensor.width + 1) + x
     else:
         nkeys = cfg.num_buckets
         key = hash_coordinate(x, y, cfg)
