@@ -166,21 +166,48 @@ def cmd_optics(args):
 
 
 def cmd_dbscan(args):
-    """App C: DBSCAN clustering with CSV export."""
+    """App C: [PCD read → voxel grid → RANSAC plane removal →] DBSCAN →
+    CSV/PCD export with per-cluster intensity (pcl_cluster.cpp pipeline)."""
     import jax.numpy as jnp
     from .config import DBSCANConfig
     from .models.dbscan import dbscan
-    s = _load(args)
-    pts = np.stack([s.x, s.y], axis=1).astype(np.float32)
+    from .models.pointcloud import voxel_downsample, ransac_plane, remove_plane
+    from .utils import pcd as pcdio
+
+    if args.input.endswith(".pcd"):
+        pts3, _ = pcdio.load_pcd(args.input)
+        valid = np.ones(len(pts3), bool)
+        if args.voxel > 0:
+            vres = voxel_downsample(jnp.asarray(pts3), leaf=args.voxel)
+            pts3 = np.asarray(vres.points)[np.asarray(vres.valid)]
+            print(f"voxel grid: {len(pts3)} points")
+        if args.remove_plane:
+            pl = ransac_plane(jnp.asarray(pts3), threshold=args.plane_threshold)
+            keep = np.asarray(remove_plane(jnp.asarray(pts3),
+                                           jnp.ones(len(pts3), bool), pl))
+            pts3 = pts3[keep]
+            print(f"plane removed ({int(pl.num_inliers)} inliers): "
+                  f"{len(pts3)} points remain")
+        pts = pts3
+    else:
+        s = _load(args)
+        pts = np.stack([s.x, s.y], axis=1).astype(np.float32)
     cfg = DBSCANConfig(eps=args.eps, core_min_pts=args.min_pts,
                        min_cluster_size=args.min_cluster_size)
     res = dbscan(jnp.asarray(pts), cfg=cfg)
     labels = np.asarray(res.labels)
     print(f"clusters={int(res.num_clusters)}")
     if args.export:
-        with open(args.export, "w") as f:
-            for (x, y), l in zip(pts, labels):
-                f.write(f"{x},{y},{l}\n")
+        if args.export.endswith(".pcd"):
+            keep = labels >= 0
+            p3 = pts[keep] if pts.shape[1] == 3 else np.concatenate(
+                [pts[keep], np.zeros((keep.sum(), 1), np.float32)], axis=1)
+            pcdio.save_pcd(args.export, p3,
+                           (labels[keep] % 8).astype(np.float32))
+        else:
+            with open(args.export, "w") as f:
+                for row, l in zip(pts, labels):
+                    f.write(",".join(f"{v}" for v in row) + f",{l}\n")
 
 
 def main(argv=None):
@@ -214,6 +241,10 @@ def main(argv=None):
     p.add_argument("--min-pts", type=int, default=20)
     p.add_argument("--min-cluster-size", type=int, default=100)
     p.add_argument("--export", default="")
+    p.add_argument("--voxel", type=float, default=0.0,
+                   help="voxel-grid leaf size for .pcd inputs (reference: 0.01)")
+    p.add_argument("--remove-plane", action="store_true")
+    p.add_argument("--plane-threshold", type=float, default=0.02)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -71,3 +71,22 @@ def test_stopwatch_and_meter():
     m.add_slice(200)
     assert m.events == 300 and m.slices == 2
     assert "events_per_s" in m.report()
+
+
+def test_pcd_roundtrip(tmp_path):
+    from evflow_tpu.utils import pcd
+    rng = np.random.default_rng(0)
+    pts = rng.random((50, 3)).astype(np.float32)
+    inten = (np.arange(50) % 8).astype(np.float32)
+    for binary in (False, True):
+        p = str(tmp_path / f"c{binary}.pcd")
+        pcd.save_pcd(p, pts, inten, binary=binary)
+        back, bint = pcd.load_pcd(p)
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+        np.testing.assert_allclose(bint, inten, atol=1e-5)
+    # without intensity
+    p = str(tmp_path / "n.pcd")
+    pcd.save_pcd(p, pts)
+    back, bint = pcd.load_pcd(p)
+    assert bint is None
+    np.testing.assert_allclose(back, pts, atol=1e-5)
