@@ -23,12 +23,13 @@ def run_once(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
              laps: int = 3, max_neighbors: int = 256):
     pts = uniform_cloud(n_points, dim, volume, seed=1)
     # warm-up lap compiles the neighbor kernel for this shape
-    optics.compute_reachability_dists(pts, min_pts, max_neighbors=max_neighbors)
+    optics.compute_reachability_dists(pts, min_pts, max_neighbors=max_neighbors, approx=True)
     times = []
     for _ in range(laps):
         t0 = time.perf_counter()
         rd = optics.compute_reachability_dists(pts, min_pts,
-                                               max_neighbors=max_neighbors)
+                                               max_neighbors=max_neighbors,
+                                               approx=True)
         times.append(time.perf_counter() - t0)
     assert len(rd) == n_points
     return min(times), sum(times) / len(times)

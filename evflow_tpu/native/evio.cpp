@@ -122,7 +122,7 @@ void optics_sweep(int64_t n, int64_t k, const int32_t* nbr_idx,
       double cd = core[start];
       for (int64_t j = 0; j < k; j++) {
         int32_t o = ni[j];
-        if (o < 0 || !(nd[j] < 1e300)) break;
+        if (o < 0 || !(nd[j] < 1e300)) continue;  // approx_max_k may interleave pads
         if (processed[o]) continue;
         double r = cd > nd[j] ? cd : nd[j];
         if (reach[o] < 0.0 || r < reach[o]) {
@@ -144,7 +144,7 @@ void optics_sweep(int64_t n, int64_t k, const int32_t* nbr_idx,
       double cd = core[idx];
       for (int64_t j = 0; j < k; j++) {
         int32_t o = ni[j];
-        if (o < 0 || !(nd[j] < 1e300)) break;
+        if (o < 0 || !(nd[j] < 1e300)) continue;  // approx_max_k may interleave pads
         if (processed[o]) continue;
         double r = cd > nd[j] ? cd : nd[j];
         if (reach[o] < 0.0 || r < reach[o]) {
