@@ -24,6 +24,7 @@ split:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import heapq
 import math
 from typing import List, NamedTuple, Optional, Sequence, Tuple
@@ -94,6 +95,34 @@ class _NbrShape:
     block: int
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block", "nblocks", "min_pts", "approx"))
+def _compute_neighbors_jit(pts_pad, pts, eps, k, block, nblocks, min_pts, approx):
+    n = pts.shape[0]
+
+    def body(i, acc):
+        idx_acc, d_acc, c_acc = acc
+        rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0)
+        bi, bd, bc = _neighbor_block(rows, pts, eps, k, approx)
+        return (jax.lax.dynamic_update_slice_in_dim(idx_acc, bi, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(d_acc, bd, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(c_acc, bc, i * block, 0))
+
+    init = (jnp.zeros((nblocks * block, k), jnp.int32),
+            jnp.full((nblocks * block, k), jnp.inf, jnp.float32),
+            jnp.zeros((nblocks * block,), jnp.int32))
+    idx, dist, cnt = jax.lax.fori_loop(0, nblocks, body, init)
+    idx, dist, cnt = idx[:n], dist[:n], cnt[:n]
+    # core dist: min_pts-th smallest (1-indexed) within eps, inclusive self.
+    # Neighbor lists may be unsorted (approx path), so sort the (n, k) panel.
+    if min_pts <= k:
+        core = jnp.sort(dist, axis=1)[:, min_pts - 1]
+    else:
+        core = jnp.full((n,), jnp.inf, jnp.float32)
+    core = jnp.where(cnt >= min_pts, core, jnp.inf)
+    return idx, dist, cnt, core
+
+
 def compute_neighbors(points: np.ndarray, eps: float, min_pts: int,
                       max_neighbors: int = 256, block: int = 2048,
                       approx: bool = False) -> NeighborTable:
@@ -109,31 +138,8 @@ def compute_neighbors(points: np.ndarray, eps: float, min_pts: int,
     pad = nblocks * block - n
     pts_pad = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=jnp.inf)
 
-    @jax.jit
-    def run(pts_pad, pts):
-        def body(i, acc):
-            idx_acc, d_acc, c_acc = acc
-            rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0)
-            bi, bd, bc = _neighbor_block(rows, pts, eps, k, approx)
-            return (jax.lax.dynamic_update_slice_in_dim(idx_acc, bi, i * block, 0),
-                    jax.lax.dynamic_update_slice_in_dim(d_acc, bd, i * block, 0),
-                    jax.lax.dynamic_update_slice_in_dim(c_acc, bc, i * block, 0))
-
-        init = (jnp.zeros((nblocks * block, k), jnp.int32),
-                jnp.full((nblocks * block, k), jnp.inf, jnp.float32),
-                jnp.zeros((nblocks * block,), jnp.int32))
-        idx, dist, cnt = jax.lax.fori_loop(0, nblocks, body, init)
-        idx, dist, cnt = idx[:n], dist[:n], cnt[:n]
-        # core dist: min_pts-th smallest (1-indexed) within eps, inclusive
-        # self. Neighbor lists are in column order, so sort the (n, k) panel.
-        if min_pts <= k:
-            core = jnp.sort(dist, axis=1)[:, min_pts - 1]
-        else:
-            core = jnp.full((n,), jnp.inf, jnp.float32)
-        core = jnp.where(cnt >= min_pts, core, jnp.inf)
-        return idx, dist, cnt, core
-
-    idx, dist, cnt, core = run(pts_pad, pts)
+    idx, dist, cnt, core = _compute_neighbors_jit(
+        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts, approx)
     return NeighborTable(idx, dist, cnt, core)
 
 
