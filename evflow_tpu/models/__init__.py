@@ -1,1 +1,2 @@
-from . import kmeans, aeclustering, aeclustering_oracle
+from . import (kmeans, aeclustering, aeclustering_oracle, fastcluster, dbscan,
+               optics, pointcloud, tracker, tracker_oracle, pipeline)
