@@ -164,9 +164,16 @@ def update(
     dist_td = jnp.linalg.norm(predicted[:, None, :] - det[None, :, :], axis=2)
     seqv = jnp.where(eligible, state.seq, _BIG)
 
+    det_iota = jnp.arange(d, dtype=jnp.int32)
+
     def assoc_round(st):
-        match_idx, det_taken, _ = st
-        open_t = eligible & (match_idx < 0)
+        match_idx, _ = st
+        matched_t = match_idx >= 0
+        # availability derived by reduction, not a scatter — scatters inside
+        # while_loop bodies are a Mosaic compile bomb on this backend
+        det_taken = jnp.any((match_idx[:, None] == det_iota[None, :])
+                            & matched_t[:, None], axis=0)
+        open_t = eligible & ~matched_t
         dmask = jnp.where((det_valid & ~det_taken)[None, :], dist_td, _F32MAX)
         best = jnp.argmin(dmask, axis=1).astype(jnp.int32)
         best_dist = jnp.min(dmask, axis=1)
@@ -177,17 +184,18 @@ def update(
         first_bad = jnp.min(jnp.where(earlier_same, pseq, _BIG))
         commit = propose & (pseq < first_bad)
         match_idx = jnp.where(commit, best, match_idx)
-        det_taken = det_taken.at[jnp.where(commit, best, d)].set(True, mode="drop")
-        return match_idx, det_taken, jnp.any(commit)
+        return match_idx, jnp.any(commit)
 
     def assoc_cond(st):
-        return st[2]
+        return st[1]
 
-    match_idx, det_matched, _ = jax.lax.while_loop(
+    match_idx, _ = jax.lax.while_loop(
         assoc_cond, assoc_round,
-        (jnp.full((t,), -1, jnp.int32), jnp.zeros((d,), bool), jnp.array(True)))
+        (jnp.full((t,), -1, jnp.int32), jnp.array(True)))
 
     matched = match_idx >= 0
+    det_matched = jnp.any((match_idx[:, None] == det_iota[None, :])
+                          & matched[:, None], axis=0)
     mpos = det[jnp.clip(match_idx, 0, d - 1)]
 
     # ---- correct matched / coast unmatched
