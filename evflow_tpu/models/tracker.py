@@ -153,24 +153,24 @@ def update(
 
     eligible = state.active & (state.frames_since <= cfg.frames_to_skip)
 
-    # ---- greedy association in seq order, as parallel prefix-commit rounds.
+    # ---- greedy association in seq order, as parallel commit rounds.
     # Sequential greedy (reference :446-469) = serial dictatorship by seq
-    # order. Each round, every open track proposes its nearest available
-    # detection; the maximal seq-prefix of proposers with pairwise-distinct
-    # proposals commits (a proposer with an earlier-seq rival on the same
-    # detection — and everything after it — waits for the next round, because
-    # its availability view may change). Exactly reproduces the 256-step scan
-    # while converging in ~2-4 rounds on real data (the scan cost 28 ms/slice).
+    # order. Each round every open track proposes its nearest available
+    # detection; a proposal commits iff NO earlier-seq open track can even
+    # reach (within max_distance) that detection. Exactness: availability only
+    # shrinks, so if no earlier track can ever claim det d_t, then d_t is
+    # still available when t's sequential turn comes, and everything t prefers
+    # over d_t was already gone at round start — t picks d_t. Converges in the
+    # reach-chain depth (~2-3 rounds); no scatters inside the loop body
+    # (a Mosaic compile bomb — availability is derived by reduction).
     dist_td = jnp.linalg.norm(predicted[:, None, :] - det[None, :, :], axis=2)
     seqv = jnp.where(eligible, state.seq, _BIG)
-
+    reach = dist_td < cfg.max_distance              # (T, D)
     det_iota = jnp.arange(d, dtype=jnp.int32)
 
     def assoc_round(st):
         match_idx, _ = st
         matched_t = match_idx >= 0
-        # availability derived by reduction, not a scatter — scatters inside
-        # while_loop bodies are a Mosaic compile bomb on this backend
         det_taken = jnp.any((match_idx[:, None] == det_iota[None, :])
                             & matched_t[:, None], axis=0)
         open_t = eligible & ~matched_t
@@ -178,11 +178,11 @@ def update(
         best = jnp.argmin(dmask, axis=1).astype(jnp.int32)
         best_dist = jnp.min(dmask, axis=1)
         propose = open_t & (best_dist < cfg.max_distance)
-        pseq = jnp.where(propose, seqv, _BIG)
-        same = propose[:, None] & propose[None, :] & (best[:, None] == best[None, :])
-        earlier_same = jnp.any(same & (pseq[None, :] < pseq[:, None]), axis=1)
-        first_bad = jnp.min(jnp.where(earlier_same, pseq, _BIG))
-        commit = propose & (pseq < first_bad)
+        # blocked[j] = some earlier-seq open track can reach j's proposal
+        can_reach_prop = reach[:, best]              # (T, T): [i, j]
+        blocked = jnp.any(can_reach_prop & open_t[:, None]
+                          & (seqv[:, None] < seqv[None, :]), axis=0)
+        commit = propose & ~blocked
         match_idx = jnp.where(commit, best, match_idx)
         return match_idx, jnp.any(commit)
 
