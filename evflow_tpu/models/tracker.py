@@ -178,11 +178,19 @@ def update(
         best = jnp.argmin(dmask, axis=1).astype(jnp.int32)
         best_dist = jnp.min(dmask, axis=1)
         propose = open_t & (best_dist < cfg.max_distance)
-        # blocked[j] = some earlier-seq open track can reach j's proposal
-        can_reach_prop = reach[:, best]              # (T, T): [i, j]
-        blocked = jnp.any(can_reach_prop & open_t[:, None]
-                          & (seqv[:, None] < seqv[None, :]), axis=0)
-        commit = propose & ~blocked
+        pseq = jnp.where(propose, seqv, _BIG)
+        onehot = propose[:, None] & (best[:, None] == det_iota[None, :])  # (T, D)
+        # reach rule: commit j if no earlier-seq OPEN track can reach best_j
+        minseq_reach = jnp.min(jnp.where(open_t[:, None] & reach,
+                                         seqv[:, None], _BIG), axis=0)   # (D,)
+        reach_ok = minseq_reach[best] >= pseq
+        # prefix rule: commit the maximal seq-prefix of proposers whose
+        # proposals are pairwise distinct (duplicate-free prefix)
+        mindup = jnp.min(jnp.where(onehot, pseq[:, None], _BIG), axis=0)  # (D,)
+        dup = mindup[best] < pseq                      # an earlier rival exists
+        first_dup = jnp.min(jnp.where(dup, pseq, _BIG))
+        prefix_ok = pseq < first_dup
+        commit = propose & (prefix_ok | reach_ok)
         match_idx = jnp.where(commit, best, match_idx)
         return match_idx, jnp.any(commit)
 
