@@ -180,14 +180,17 @@ def update(
         propose = open_t & (best_dist < cfg.max_distance)
         pseq = jnp.where(propose, seqv, _BIG)
         onehot = propose[:, None] & (best[:, None] == det_iota[None, :])  # (T, D)
+        # (gather-free body: dynamic gathers inside while_loop bodies are
+        # another Mosaic slow path — everything below is masked reductions)
         # reach rule: commit j if no earlier-seq OPEN track can reach best_j
         minseq_reach = jnp.min(jnp.where(open_t[:, None] & reach,
                                          seqv[:, None], _BIG), axis=0)   # (D,)
-        reach_ok = minseq_reach[best] >= pseq
+        reach_ok = ~jnp.any(onehot & (minseq_reach[None, :] < pseq[:, None]),
+                            axis=1)
         # prefix rule: commit the maximal seq-prefix of proposers whose
         # proposals are pairwise distinct (duplicate-free prefix)
         mindup = jnp.min(jnp.where(onehot, pseq[:, None], _BIG), axis=0)  # (D,)
-        dup = mindup[best] < pseq                      # an earlier rival exists
+        dup = jnp.any(onehot & (mindup[None, :] < pseq[:, None]), axis=1)
         first_dup = jnp.min(jnp.where(dup, pseq, _BIG))
         prefix_ok = pseq < first_dup
         commit = propose & (prefix_ok | reach_ok)
