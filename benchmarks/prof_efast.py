@@ -1,0 +1,62 @@
+"""Focused in-scan profile of the corner path (iterate on eFAST here)."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time, jax, jax.numpy as jnp, numpy as np
+import evflow_tpu; evflow_tpu.setup_cache()
+from evflow_tpu.config import DEFAULT
+from evflow_tpu.io import synthetic, slice_by_count
+from evflow_tpu.ops import sae as sae_ops, efast
+from evflow_tpu.models import pipeline
+
+cfg = DEFAULT
+n_slices, n = 32, cfg.slicing.n_events
+stream = synthetic.moving_blob_stream(
+    num_slices=n_slices, events_per_slice=n,
+    blob_centers=((200.0, 200.0), (900.0, 500.0), (600.0, 150.0)),
+    velocities=((30.0, 10.0), (-20.0, 15.0), (5.0, -12.0)), sigma=12.0)
+slices = slice_by_count(stream, n, drop_partial=True)
+t0 = int(stream.t[0])
+xs = jnp.asarray(slices.x); ys = jnp.asarray(slices.y)
+ts = jnp.asarray((slices.t - t0).astype(np.int32))
+vs = jnp.asarray(slices.valid_mask())
+
+
+def bench(name, make_scan):
+    f = jax.jit(make_scan)
+    t0 = time.perf_counter(); jax.block_until_ready(f()); cmp = time.perf_counter()-t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); jax.block_until_ready(f()); best = min(best, time.perf_counter()-t0)
+    print(f"{name:20s} compile {cmp:7.1f}s  total {best*1e3:8.2f} ms  per-slice {best/n_slices*1e3:7.3f} ms", flush=True)
+
+
+def mk_sae():
+    def step(s, ev):
+        x, y, t, v = ev
+        s = sae_ops.update_sae(s, x, y, t, v)
+        return s, jnp.sum(s[::64, ::64])
+    return jax.lax.scan(step, sae_ops.init_sae(cfg.sensor), (xs, ys, ts, vs))
+bench("sae", mk_sae)
+
+def mk_gather_only():
+    # ring gathers alone (no streak math): isolates gather cost
+    def step(s, ev):
+        x, y, t, v = ev
+        s = sae_ops.update_sae(s, x, y, t, v)
+        r3 = efast._gather_ring(s, x, y, efast.CIRCLE3, True)
+        r4 = efast._gather_ring(s, x, y, efast.CIRCLE4, True)
+        return s, jnp.sum(r3) + jnp.sum(r4)
+    return jax.lax.scan(step, sae_ops.init_sae(cfg.sensor), (xs, ys, ts, vs))
+bench("sae+gather", mk_gather_only)
+
+def mk_efast():
+    def step(s, ev):
+        x, y, t, v = ev
+        s = sae_ops.update_sae(s, x, y, t, v)
+        m = efast.detect_corners(s, x, y, v, cfg.efast, cfg.sensor)
+        return s, jnp.sum(m.astype(jnp.int32))
+    return jax.lax.scan(step, sae_ops.init_sae(cfg.sensor), (xs, ys, ts, vs))
+bench("sae+efast", mk_efast)
+
+def mk_full_corner():
+    return pipeline.corner_track_scan(pipeline.init_corner_state(cfg), xs, ys, ts, vs, cfg)
+bench("corner_step", mk_full_corner)

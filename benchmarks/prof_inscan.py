@@ -1,0 +1,111 @@
+"""In-scan per-stage profile: each pipeline stage alone inside a lax.scan over
+the same 32-slice moving-blob stream bench.py uses. Per-slice cost = total/32.
+Single-step timing is useless on this rig (~26 ms dispatch overhead); only
+whole-sequence scans measure the true per-slice cost (CLAUDE.md rule 5)."""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time, jax, jax.numpy as jnp, numpy as np
+import evflow_tpu; evflow_tpu.setup_cache()
+from evflow_tpu.config import DEFAULT
+from evflow_tpu.io import synthetic, slice_by_count
+from evflow_tpu.ops import hash_dedup, sae as sae_ops, efast, nms as nms_ops
+from evflow_tpu.models import fastcluster, tracker as trk, pipeline
+
+cfg = DEFAULT
+n_slices, n = 32, cfg.slicing.n_events
+stream = synthetic.moving_blob_stream(
+    num_slices=n_slices, events_per_slice=n,
+    blob_centers=((200.0, 200.0), (900.0, 500.0), (600.0, 150.0)),
+    velocities=((30.0, 10.0), (-20.0, 15.0), (5.0, -12.0)), sigma=12.0)
+slices = slice_by_count(stream, n, drop_partial=True)
+t0 = int(stream.t[0])
+xs = jnp.asarray(slices.x); ys = jnp.asarray(slices.y)
+ts = jnp.asarray((slices.t - t0).astype(np.int32))
+vs = jnp.asarray(slices.valid_mask())
+
+
+def bench(name, make_scan):
+    f = jax.jit(make_scan)
+    t0 = time.perf_counter(); jax.block_until_ready(f()); cmp = time.perf_counter()-t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); jax.block_until_ready(f()); best = min(best, time.perf_counter()-t0)
+    print(f"{name:20s} compile {cmp:7.1f}s  total {best*1e3:8.2f} ms  per-slice {best/n_slices*1e3:7.3f} ms", flush=True)
+
+
+# 1. dedup alone
+def mk_dedup():
+    def step(c, ev):
+        x, y, v = ev
+        d = hash_dedup.dedup(x, y, v, cfg.dedup, cfg.sensor)
+        return c, (d.unique_count, d.repeated_count)
+    return jax.lax.scan(step, 0, (xs, ys, vs))
+bench("dedup", mk_dedup)
+
+# 2. SAE scatter alone (carry the surface)
+def mk_sae():
+    def step(s, ev):
+        x, y, t, v = ev
+        s = sae_ops.update_sae(s, x, y, t, v)
+        return s, jnp.sum(s[::64, ::64])
+    return jax.lax.scan(step, sae_ops.init_sae(cfg.sensor), (xs, ys, ts, vs))
+bench("sae", mk_sae)
+
+# 3. eFAST alone (carry the surface too — realistic gather source)
+def mk_efast():
+    def step(s, ev):
+        x, y, t, v = ev
+        s = sae_ops.update_sae(s, x, y, t, v)
+        m = efast.detect_corners(s, x, y, v, cfg.efast, cfg.sensor)
+        return s, jnp.sum(m.astype(jnp.int32))
+    return jax.lax.scan(step, sae_ops.init_sae(cfg.sensor), (xs, ys, ts, vs))
+bench("sae+efast", mk_efast)
+
+# 4. NMS alone over 512 synthetic candidates per slice
+rng = np.random.default_rng(0)
+cxs = jnp.asarray(rng.integers(0, 1280, (n_slices, 512)), jnp.int32)
+cys = jnp.asarray(rng.integers(0, 720, (n_slices, 512)), jnp.int32)
+cvs = jnp.ones((n_slices, 512), bool)
+def mk_nms():
+    def step(c, ev):
+        x, y, v = ev
+        r = nms_ops.filter_corners(x, y, v, cfg.nms)
+        return c, r.count
+    return jax.lax.scan(step, 0, (cxs, cys, cvs))
+bench("nms512", mk_nms)
+
+# 5. tracker alone over 512 synthetic detections per slice
+def mk_tracker():
+    def step(s, ev):
+        x, y, v = ev
+        s, groups = trk.update(s, x.astype(jnp.float32), y.astype(jnp.float32), v, cfg.tracker)
+        return s, jnp.sum(s.active.astype(jnp.int32))
+    return jax.lax.scan(step, trk.init_state(cfg.tracker), (cxs, cys, cvs))
+bench("tracker512", mk_tracker)
+
+# 5b. tracker with few detections (64) — realistic post-NMS count
+cvs64 = jnp.arange(512)[None, :] < 64
+def mk_tracker64():
+    def step(s, ev):
+        x, y, v = ev
+        s, groups = trk.update(s, x.astype(jnp.float32), y.astype(jnp.float32), v, cfg.tracker)
+        return s, jnp.sum(s.active.astype(jnp.int32))
+    return jax.lax.scan(step, trk.init_state(cfg.tracker), (cxs, cys, jnp.broadcast_to(cvs64, (n_slices, 512))))
+bench("tracker64", mk_tracker64)
+
+# 6. fastcluster alone
+def mk_cluster():
+    def step(s, ev):
+        x, y, v = ev
+        s, out = fastcluster.update_slice(s, x, y, v, cfg.cluster, cfg.sensor)
+        return s, out.centroid
+    return jax.lax.scan(step, fastcluster.init_state(cfg.cluster), (xs, ys, vs))
+bench("fastcluster", mk_cluster)
+
+# 7. full steps
+def mk_full_cluster():
+    return pipeline.cluster_flow_scan(fastcluster.init_state(cfg.cluster), xs, ys, vs, cfg)
+bench("cluster_step", mk_full_cluster)
+
+def mk_full_corner():
+    return pipeline.corner_track_scan(pipeline.init_corner_state(cfg), xs, ys, ts, vs, cfg)
+bench("corner_step", mk_full_corner)
