@@ -49,25 +49,19 @@ def main():
     cl_state = fastcluster.init_state(cfg.cluster)
     co_state = pipeline.init_corner_state(cfg)
 
-    # Two scans (cluster+flow, SAE+corner+track) instead of one fused scan:
-    # same total work per event, half-sized graphs for the TPU compiler.
-    def run_cluster(cl_state, xs, ys, vs):
-        return pipeline.cluster_flow_scan(cl_state, xs, ys, vs, cfg)
-
-    def run_corner(co_state, xs, ys, ts, vs):
-        return pipeline.corner_track_scan(co_state, xs, ys, ts, vs, cfg)
+    # One fused scan: both pipelines per slice, one dispatch for the sequence.
+    def run(cl_state, co_state, xs, ys, ts, vs):
+        return pipeline.full_scan(cl_state, co_state, xs, ys, ts, vs, cfg)
 
     # compile + warm up
-    jax.block_until_ready(run_cluster(cl_state, xs, ys, vs))
-    jax.block_until_ready(run_corner(co_state, xs, ys, ts, vs))
+    jax.block_until_ready(run(cl_state, co_state, xs, ys, ts, vs))
 
     reps = 5
     best = float("inf")
     for _ in range(reps):
         start = time.perf_counter()
-        out1 = run_cluster(cl_state, xs, ys, vs)
-        out2 = run_corner(co_state, xs, ys, ts, vs)
-        jax.block_until_ready((out1, out2))
+        out = run(cl_state, co_state, xs, ys, ts, vs)
+        jax.block_until_ready(out)
         best = min(best, time.perf_counter() - start)
 
     total_events = n_slices * n

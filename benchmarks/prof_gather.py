@@ -98,3 +98,42 @@ def v_cols(sae, flat, x, y):
         acc += jnp.sum(jnp.take(flat, base + OFF[i], mode="clip"))
     return acc
 bench("F 36 col takes", scan_over(v_cols))
+
+# G: one multi-dim gather of a (9,16) patch per event
+def v_patch2d(sae, flat, x, y):
+    b = (x - 4) & ~7
+    starts = jnp.stack([y - 4, b], axis=1)  # (N, 2)
+    patch = jax.lax.gather(
+        sae, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(9, 16), mode=jax.lax.GatherScatterMode.CLIP)
+    phase = (x - 4) - b
+    out = jnp.zeros((x.shape[0], 36), jnp.int32)
+    cols = circ[:, 1] + 4
+    rows = circ[:, 0] + 4
+    for p in range(8):
+        sel = patch[:, jnp.asarray(rows), jnp.asarray(cols + p)]
+        out = jnp.where((phase == p)[:, None], sel, out)
+    return jnp.sum(out)
+bench("G patch (9,16) gather", scan_over(v_patch2d))
+
+# H: paired-segment rows — 9 gathers of 16-wide from a precomputed paired view
+def v_pairseg(sae, flat, x, y):
+    sae8 = sae.reshape(H * rows8, SEG)
+    sae_pairs = jnp.concatenate(
+        [sae8, jnp.roll(sae8, -1, axis=0)], axis=1)      # (H*rows8, 16)
+    b = (x - 4) & ~(SEG - 1)
+    seg0 = b // SEG
+    ridx = (y[:, None] + jnp.asarray(dyu)[None, :]) * rows8 + seg0[:, None]
+    patch = jnp.take(sae_pairs, ridx, axis=0, mode="clip")  # (N,9,16)
+    phase = (x - 4) - b
+    out = jnp.zeros((x.shape[0], 36), jnp.int32)
+    cols = circ[:, 1] + 4
+    rows = circ[:, 0] + 4
+    for p in range(SEG):
+        sel = patch[:, jnp.asarray(rows), jnp.asarray(cols + p)]
+        out = jnp.where((phase == p)[:, None], sel, out)
+    return jnp.sum(out)
+bench("H paired-seg (9x16)", scan_over(v_pairseg))

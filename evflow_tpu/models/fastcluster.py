@@ -83,39 +83,46 @@ def init_state(cfg: ClusterConfig = ClusterConfig(), window_slices: int = 4) -> 
     )
 
 
-def _ewma_closed_form(mu0, pts, labels, valid, c, alpha):
-    """Advance each cluster's EWMA mean with its slice members in stream order.
+def _slice_aggregates(mu0, pts, labels, valid, c, alpha):
+    """EWMA means advanced in stream order + per-cluster (count, coord sum).
 
     mu' = (1-a)^k mu0 + a * sum_i (1-a)^(k-1-i) x_i  for the k members
-    (i = 0 oldest). Ranks come from a sorted compaction; the weighted sums are
-    segment reductions.
+    (i = 0 oldest) — the closed form of the per-event recurrence. One
+    (ids, lane) sort yields both the stream-order rank (forward max-scan of
+    run starts) and the run length k per event (reverse min-scan of next run
+    starts), so the per-event weights need no gather back through labels;
+    count, coord sums, and weighted sums then ride ONE 5-channel segment_sum
+    (scatters are the expensive primitive on this backend — fuse them).
     """
     n = pts.shape[0]
     ids = jnp.where(valid, labels, c).astype(jnp.int32)
     lane = jnp.arange(n, dtype=jnp.int32)
     sids, sl = jax.lax.sort((ids, lane), num_keys=2)
+    iota = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, jnp.arange(n), 0))
-    rank_sorted = (jnp.arange(n) - run_start).astype(jnp.int32)
-    rank = jnp.zeros((n,), jnp.int32).at[sl].set(rank_sorted)
-
-    k_c = jax.ops.segment_sum(valid.astype(jnp.int32), ids, num_segments=c + 1)[:c]
-    # weight for event with rank r in a cluster of k members: a*(1-a)^(k-1-r)
-    # = a*(1-a)^(k-1) * (1-a)^(-r) — to avoid the inverse blowup, accumulate
-    # s = sum_i (1-a)^(-r_i) x_i * valid, then scale by a*(1-a)^(k-1), clamping
-    # exponents (contributions older than ~64 steps vanish in fp32 anyway).
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
+    rank_sorted = iota - run_start
+    nxt = jnp.concatenate([jnp.where(first, iota, n)[1:],
+                           jnp.array([n], jnp.int32)])
+    run_end = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(nxt)))
+    k_sorted = run_end - run_start
+    # w_i = a * (1-a)^(k-1-r_i), exponent clamped at 80 (fp32 underflow —
+    # contributions older than ~64 steps vanish anyway)
     la = jnp.log1p(-alpha)  # log(1-a), a<1
-    km1 = jnp.maximum(k_c - 1, 0).astype(jnp.float32)
-    # per-event exponent relative to its cluster's newest member:
-    # w_i = a * (1-a)^(k-1-r_i); clamp the exponent at 80 (fp32 underflow).
-    expo = jnp.clip(km1[jnp.clip(labels, 0, c - 1)] - rank.astype(jnp.float32), 0.0, 80.0)
-    w = alpha * jnp.exp(expo * la)
-    w = jnp.where(valid, w, 0.0)
-    wsum = jax.ops.segment_sum(w[:, None] * pts, ids, num_segments=c + 1)[:c]
+    expo = jnp.clip((k_sorted - 1 - rank_sorted).astype(jnp.float32), 0.0, 80.0)
+    w_sorted = jnp.where(sids < c, alpha * jnp.exp(expo * la), 0.0)
+    w = jnp.zeros((n,), jnp.float32).at[sl].set(w_sorted)
+
+    feats = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), pts, w[:, None] * pts], axis=1)
+    sums = jax.ops.segment_sum(feats, ids, num_segments=c + 1)[:c]
+    k_c = sums[:, 0].astype(jnp.int32)   # exact: counts << 2^24
+    sum_slice = sums[:, 1:3]
+    wsum = sums[:, 3:5]
     decay = jnp.exp(jnp.clip(k_c.astype(jnp.float32), 0.0, 80.0) * la)
     mu = decay[:, None] * mu0 + wsum
-    return jnp.where((k_c > 0)[:, None], mu, mu0), k_c
+    mu = jnp.where((k_c > 0)[:, None], mu, mu0)
+    return mu, k_c, sum_slice
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sensor", "grid_cells"))
@@ -146,10 +153,11 @@ def update_slice(
     ncx = -(-sensor.width // cell_w)
     cell = (y // cell_w) * ncx + (x // cell_w)
     cell = jnp.where(valid & ~assigned, cell % grid_cells, grid_cells).astype(jnp.int32)
-    cell_cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cell,
+    cell_feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), pts], axis=1)
+    cell_agg = jax.ops.segment_sum(cell_feats, cell,
                                    num_segments=grid_cells + 1)[:grid_cells]
-    cell_sum = jax.ops.segment_sum(jnp.where((cell < grid_cells)[:, None], pts, 0.0),
-                                   cell, num_segments=grid_cells + 1)[:grid_cells]
+    cell_cnt = cell_agg[:, 0].astype(jnp.int32)   # exact: counts << 2^24
+    cell_sum = cell_agg[:, 1:3]
     occupied = cell_cnt > 0
     free = ~state.alive
     n_free = jnp.sum(free.astype(jnp.int32))
@@ -198,17 +206,10 @@ def update_slice(
     labels = jnp.where(ev_seeded, ev_slot, labels)
     member = labels >= 0
 
-    # ---- 3. EWMA means (closed form of the per-event recurrence)
-    mu, k_c = _ewma_closed_form(mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha)
-
-    # ---- 4. windowed membership aggregates
+    # ---- 3+4. EWMA means and windowed membership aggregates (one fused pass)
+    mu, cnt_slice, sum_slice = _slice_aggregates(
+        mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha)
     head = state.ring_head
-    cnt_slice = jax.ops.segment_sum(member.astype(jnp.int32),
-                                    jnp.where(member, labels, c),
-                                    num_segments=c + 1)[:c]
-    sum_slice = jax.ops.segment_sum(jnp.where(member[:, None], pts, 0.0),
-                                    jnp.where(member, labels, c),
-                                    num_segments=c + 1)[:c]
     rc = rc.at[:, head].set(cnt_slice)
     rs = rs.at[:, head].set(sum_slice)
     n_window = jnp.sum(rc, axis=1)

@@ -59,16 +59,21 @@ def cluster_flow_step(
     valid: jnp.ndarray,
     cfg: EngineConfig = DEFAULT,
 ) -> Tuple[fastcluster.FastState, ClusterFlowOutput]:
-    """One slice of the flagship pipeline (fast mode)."""
-    ded = hash_dedup.dedup(x, y, valid, cfg.dedup, cfg.sensor)
-    lane = jnp.arange(x.shape[0])
-    uvalid = lane < ded.unique_count
+    """One slice of the flagship pipeline (fast mode).
+
+    Dedup is compaction-free here: fastcluster masks lanes anyway, so the
+    original (x, y) arrays flow straight through with the first-occupant mask
+    as validity (out.labels is therefore indexed by input event, not by
+    compacted unique position)."""
+    ded = hash_dedup.dedup_mask(x, y, valid, cfg.dedup, cfg.sensor)
+    uvalid = ded.unique_mask
     if cfg.dedup.compat_stride2:
         # reference consumes every 2nd unique coordinate (stride 4 over the
         # interleaved array, accel …store.cpp:435-445)
-        uvalid = uvalid & (lane % 2 == 0)
+        upos = jnp.cumsum(uvalid.astype(jnp.int32)) - 1
+        uvalid = uvalid & (upos % 2 == 0)
     state, out = fastcluster.update_slice(
-        state, ded.unique_x, ded.unique_y, uvalid, cfg.cluster, cfg.sensor)
+        state, x, y, uvalid, cfg.cluster, cfg.sensor)
     flow = out.flow * cfg.flow.extrapolation
     return state, ClusterFlowOutput(
         unique_count=ded.unique_count, repeated_count=ded.repeated_count,
@@ -239,3 +244,19 @@ def corner_track_scan(state, xs, ys, ts, valids, cfg: EngineConfig = DEFAULT):
         return corner_track_step(st, x, y, t, v, cfg)
 
     return jax.lax.scan(step, state, (xs, ys, ts, valids))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def full_scan(cl_state, co_state, xs, ys, ts, valids,
+              cfg: EngineConfig = DEFAULT):
+    """Both pipelines (cluster+flow and SAE+corner+track) in ONE lax.scan —
+    one dispatch for the whole sequence and one scan-step overhead per slice
+    instead of two."""
+    def step(st, ev):
+        cl, co = st
+        x, y, t, v = ev
+        cl, cl_out = cluster_flow_step(cl, x, y, v, cfg)
+        co, co_out = corner_track_step(co, x, y, t, v, cfg)
+        return (cl, co), (cl_out, co_out)
+
+    return jax.lax.scan(step, (cl_state, co_state), (xs, ys, ts, valids))

@@ -97,6 +97,36 @@ def dedup(
     return DedupResult(ux, uy, unique_mask, unique_count, repeated_count)
 
 
+class DedupMask(NamedTuple):
+    unique_mask: jnp.ndarray    # bool  (N,) per-input-event first-occupant flag
+    unique_count: jnp.ndarray   # int32 ()
+    repeated_count: jnp.ndarray # int32 ()
+
+
+def dedup_mask(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: DedupConfig = DedupConfig(),
+    sensor: SensorConfig = SensorConfig(),
+) -> DedupMask:
+    """Compaction-free dedup: same first-occupant semantics as `dedup` but
+    returns only the per-event mask — for consumers that mask lanes anyway
+    (the fast cluster pipeline), skipping the two compaction scatters."""
+    n = x.shape[0]
+    key, nkeys, ok = _keys(x, y, valid, cfg, sensor)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    from .segment import scatter_min
+    winner = scatter_min(idx, key, nkeys + 1, jnp.int32(2**31 - 1))
+    unique_mask = ok & (winner[key] == idx)
+    unique_count = jnp.sum(unique_mask.astype(jnp.int32))
+
+    occ = jax.ops.segment_sum(jnp.ones_like(idx), key, num_segments=nkeys + 1)
+    repeated_count = jnp.sum((occ[:nkeys] >= 2).astype(jnp.int32))
+    return DedupMask(unique_mask, unique_count, repeated_count)
+
+
 def dedup_batched(x, y, valid, cfg: DedupConfig = DedupConfig(),
                   sensor: SensorConfig = SensorConfig()) -> DedupResult:
     """vmap over slices: inputs (S, N)."""
