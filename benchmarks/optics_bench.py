@@ -19,37 +19,63 @@ from evflow_tpu.io.synthetic import uniform_cloud
 from evflow_tpu.models import optics
 
 
-def run_once(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
-             laps: int = 3, max_neighbors: int = 64):
-    """Returns (device_best, e2e_best, e2e_mean) seconds.
+def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
+               laps: int = 3, max_neighbors: int = 64):
+    """(dense_best, grid_best) seconds for the ε-neighborhood + core-dist
+    precompute — the part the reference spends its kd-tree time on.
 
-    device = the ε-neighborhood + core-dist precompute (the part the reference
-    spends its kd-tree time on). e2e additionally includes the device→host
-    readback of the neighbor tables and the host sweep; on this rig the axon
-    loopback relay moves data at <1 MB/s, so e2e is transfer-dominated — on a
-    directly-attached TPU host the readback runs at PCIe/GB/s rates.
-    """
+    Device laps MUST run before any e2e readback: a large device_get through
+    this rig's relay leaves it degraded for tens of seconds and poisons
+    subsequent measurements (observed: 8 ms grid laps reading 134+ ms when
+    taken right after a table readback)."""
     import jax
     pts = uniform_cloud(n_points, dim, volume, seed=1)
     eps = optics.epsilon_estimation(pts, min_pts)
+    import numpy as _np
     # warm-up lap compiles the neighbor kernel for this shape
     optics.compute_neighbors(pts, eps, min_pts, max_neighbors=max_neighbors,
                              approx=True)
-    dev_times, e2e_times = [], []
+    # Each lap ends with a 1-element readback: block_until_ready alone can
+    # return before the remote queue drains on this rig (measured 1 ms for a
+    # 200+ ms computation), so only a real device->host roundtrip gives an
+    # honest wall time (it adds the ~28 ms relay latency — included).
+    dev_times = []
     for _ in range(laps):
         t0 = time.perf_counter()
         table = optics.compute_neighbors(pts, eps, min_pts,
                                          max_neighbors=max_neighbors,
                                          approx=True)
-        jax.block_until_ready(table.idx)
+        _np.asarray(table.count[:1])
         dev_times.append(time.perf_counter() - t0)
+    # grid-bucketed path (None when it does not apply, e.g. dim > 3)
+    grid_best = None
+    if optics.compute_neighbors_grid(pts, eps, min_pts,
+                                     max_neighbors=max_neighbors) is not None:
+        gt = []
+        for _ in range(laps):
+            t0 = time.perf_counter()
+            table = optics.compute_neighbors_grid(pts, eps, min_pts,
+                                                  max_neighbors=max_neighbors)
+            _np.asarray(table.count[:1])
+            gt.append(time.perf_counter() - t0)
+        grid_best = min(gt)
+    return min(dev_times), grid_best
+
+
+def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
+            max_neighbors: int = 64):
+    """Full pipeline wall time incl. the device→host neighbor-table readback
+    and the host sweep; on this rig the axon relay moves a few MB/s at best,
+    so e2e is transfer-dominated — on a directly-attached TPU host the
+    readback runs at PCIe rates."""
+    pts = uniform_cloud(n_points, dim, volume, seed=1)
+    eps = optics.epsilon_estimation(pts, min_pts)
     t0 = time.perf_counter()
     rd = optics.compute_reachability_dists(pts, min_pts, eps,
-                                           max_neighbors=max_neighbors,
-                                           approx=True)
+                                           max_neighbors=max_neighbors)
     e2e = time.perf_counter() - t0
     assert len(rd) == n_points
-    return min(dev_times), e2e, e2e
+    return e2e
 
 
 def main():
@@ -65,16 +91,24 @@ def main():
                 (6, 100_000, 10), (2, 10_000, 10), (1, 500_000, 500),
                 (10, 10_000, 10), (64, 1_000, 10)]
 
+    REF = {(2, 100_000): 0.294, (3, 100_000): 0.344, (4, 100_000): 0.378,
+           (6, 100_000): 0.677, (2, 10_000): 0.020, (1, 500_000): 12.4}
     rows = []
+    # device measurements for every config FIRST (see run_device docstring),
+    # e2e (readback-bound on this rig) afterwards
     for dim, n, mp in grid:
-        dev, e2e, mean = run_once(n, dim, mp)
-        ref = {(2, 100_000): 0.294, (3, 100_000): 0.344, (4, 100_000): 0.378,
-               (6, 100_000): 0.677, (2, 10_000): 0.020,
-               (1, 500_000): 12.4}.get((dim, n))
-        speedup = f"  (device {ref/dev:.0f}x vs reference kd-tree)" if ref else ""
-        print(f"d={dim} n={n} min_pts={mp}: device={dev*1e3:.2f} ms "
-              f"e2e={e2e*1e3:.1f} ms{speedup}")
-        rows.append((dim, n, 1000.0, mp, mean))
+        dev, grid_t = run_device(n, dim, mp)
+        ref = REF.get((dim, n))
+        best = min(dev, grid_t) if grid_t else dev
+        speedup = f"  ({ref/best:.0f}x vs reference kd-tree)" if ref else ""
+        gtxt = f" grid={grid_t*1e3:.2f} ms" if grid_t else ""
+        print(f"d={dim} n={n} min_pts={mp}: dense={dev*1e3:.2f} ms{gtxt}"
+              f"{speedup}", flush=True)
+        rows.append((dim, n, 1000.0, mp, best))
+    for dim, n, mp in grid:
+        e2e = run_e2e(n, dim, mp)
+        print(f"d={dim} n={n} min_pts={mp}: e2e={e2e*1e3:.1f} ms "
+              f"(readback-bound on this rig)", flush=True)
 
     with open(args.out, "w") as f:
         f.write("dimension;n_points;volume;min_clustersize;time\n")

@@ -95,8 +95,11 @@ def ransac_plane(points: jnp.ndarray,
     dcoef = -jnp.sum(normal * tri[:, 0], axis=1)     # (I,)
 
     # distance of every point to every hypothesis: (I, N) via matmul
+    # precision=HIGHEST: default TPU matmul precision is bf16-mantissa, whose
+    # rounding (~4e-3·|pts|) is comparable to the 0.02 inlier threshold
     dist = jnp.abs(jnp.dot(normal, pts.T,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
                    + dcoef[:, None])
     inl = (dist <= threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1) * ok

@@ -16,12 +16,19 @@ import jax.numpy as jnp
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(M, D), (K, D) -> (M, K) squared Euclidean distances (MXU matmul)."""
+    """(M, D), (K, D) -> (M, K) squared Euclidean distances (MXU matmul).
+
+    precision=HIGHEST is load-bearing: the TPU's default matmul precision
+    feeds bf16 mantissas to the MXU, and with coordinates ~1e3 the 2ab term's
+    rounding (~4e3) dwarfs typical eps² gates (~30) — measured on hardware as
+    ~80x inflated neighborhood counts. HIGHEST runs the 3-pass fp32-accurate
+    scheme; the panel is still MXU-bound and ~fast."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     a2 = jnp.sum(a * a, axis=1, keepdims=True)            # (M, 1)
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T          # (1, K)
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 

@@ -244,3 +244,19 @@ def test_radius_counts_and_kth():
     kth = kth_neighbor_dist(jnp.asarray(pts), k=2)
     np.testing.assert_allclose(np.asarray(kth), [1.0, 1.0, 1.0,
                                                  np.hypot(48, 50)], rtol=1e-5)
+
+
+def test_pairwise_sqdist_large_coordinate_precision():
+    """Regression: the MXU panel must run at HIGHEST precision. At default
+    TPU matmul precision the 2ab term is computed from bf16 mantissas; with
+    coordinates ~1e3 its rounding (~4e3) dwarfs eps^2 gates (~30) and inflated
+    neighborhood counts ~80x on hardware. CPU passes trivially; on TPU
+    (EVFLOW_TEST_TPU=1) this guards the precision flag."""
+    from evflow_tpu.ops.distance import pairwise_sqdist
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1000, (2048, 2)).astype(np.float32)
+    d2 = np.asarray(pairwise_sqdist(jnp.asarray(pts), jnp.asarray(pts)))
+    oracle = ((pts[:, None, :].astype(np.float64)
+               - pts[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    eps = 5.64
+    np.testing.assert_array_equal(d2 <= eps**2, oracle <= eps**2)

@@ -198,3 +198,64 @@ def test_export_reachability(tmp_path):
     lines = open(p).read().strip().splitlines()
     assert lines[0] == "PointIndex;ReachabilityDistance"
     assert len(lines) == 5
+
+
+# ------------------------------------------------------- grid neighbor search
+
+def test_grid_neighbors_match_dense_integer_coords():
+    """Integer coordinates: every distance term is exact in fp32, so the grid
+    and dense paths must agree bit-for-bit (counts, neighbor sets, core dists,
+    and the full sweep order)."""
+    rng = np.random.default_rng(7)
+    pts = rng.integers(0, 200, (1500, 2)).astype(np.float64)
+    eps, min_pts = 7.0, 6
+    g = optics.compute_neighbors_grid(pts, eps, min_pts)
+    t = optics.compute_neighbors(pts, eps, min_pts)
+    assert g is not None
+    np.testing.assert_array_equal(np.asarray(g.count), np.asarray(t.count))
+    np.testing.assert_array_equal(np.asarray(g.core_dist), np.asarray(t.core_dist))
+    gi, ti = np.asarray(g.idx), np.asarray(t.idx)
+    for i in range(len(pts)):
+        assert set(gi[i][gi[i] >= 0]) == set(ti[i][ti[i] >= 0])
+    rg = compute_reachability_dists(pts, min_pts, eps, method="grid")
+    rd = compute_reachability_dists(pts, min_pts, eps, method="dense")
+    assert [r.point_index for r in rg] == [r.point_index for r in rd]
+    np.testing.assert_allclose([r.reach_dist for r in rg],
+                               [r.reach_dist for r in rd], atol=1e-5)
+
+
+def test_grid_neighbors_match_float64_oracle():
+    """Float coordinates: grid counts/core dists match a float64 brute-force
+    oracle (up to fp32 rounding at the eps boundary, which we exclude)."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 100, (1200, 2))
+    min_pts = 8
+    eps = optics.epsilon_estimation(pts, min_pts)
+    g = optics.compute_neighbors_grid(pts, eps, min_pts)
+    assert g is not None
+    D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    clear = np.abs(D - eps).min(axis=1) > 1e-3 * eps  # no knife-edge pair
+    cnt = (D <= eps).sum(1)
+    core = np.where(cnt >= min_pts, np.sort(D, axis=1)[:, min_pts - 1], np.inf)
+    np.testing.assert_array_equal(np.asarray(g.count)[clear], cnt[clear])
+    np.testing.assert_allclose(np.asarray(g.core_dist)[clear], core[clear],
+                               atol=1e-4)
+
+
+def test_grid_neighbors_3d_and_fallbacks():
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(0, 50, (600, 3))
+    min_pts = 4
+    eps = optics.epsilon_estimation(pts, min_pts)
+    g = optics.compute_neighbors_grid(pts, eps, min_pts)
+    assert g is not None
+    t = optics.compute_neighbors(pts, eps, min_pts)
+    np.testing.assert_array_equal(np.asarray(g.count), np.asarray(t.count))
+    # dim > 3 -> grid declines, auto falls back to dense
+    pts6 = rng.uniform(0, 10, (100, 6))
+    assert optics.compute_neighbors_grid(pts6, 2.0, 3) is None
+    rd = compute_reachability_dists(pts6, 3, 2.0, method="auto")
+    assert len(rd) == 100
+    import pytest
+    with pytest.raises(ValueError):
+        compute_reachability_dists(pts6, 3, 2.0, method="grid")
