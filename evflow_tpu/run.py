@@ -212,6 +212,10 @@ def cmd_dbscan(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="evflow_tpu.run")
+    ap.add_argument("--backend", choices=("auto", "cpu", "tpu"), default="auto",
+                    help="force the JAX backend. 'cpu' is numerically "
+                         "identical for these kernels and compiles ~100x "
+                         "faster than a tunneled remote TPU")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def add(name, fn, **extra):
@@ -247,6 +251,12 @@ def main(argv=None):
     p.add_argument("--plane-threshold", type=float, default=0.02)
 
     args = ap.parse_args(argv)
+    if args.backend != "auto":
+        import jax
+        # env vars cannot override a sitecustomize-forced platform; the
+        # config update after import can (this rig forces the remote TPU)
+        jax.config.update("jax_platforms",
+                          "cpu" if args.backend == "cpu" else None)
     args.fn(args)
 
 
