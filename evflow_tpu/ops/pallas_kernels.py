@@ -10,8 +10,10 @@ Kernels:
   - assign_manhattan: fused L1-distance + masked argmin of (N, 2) events
     against (C, 2) cluster means — the inner loop of the fast clustering path
     (reference analog: assign_to_centers.cl:1-34, but L1 per AEClustering).
-  - sae_scatter_max: per-tile scatter-max of event timestamps into the SAE
-    plane (reference analog: time_surface.at(y,x)=t per event).
+    Measured on hardware it TIES the XLA fusion of the same math, so the
+    pipeline uses the jnp form; the kernel stays as the validated pattern.
+  - (removed) sae_scatter_max: see the note at the bottom — Mosaic cannot
+    lower per-event scalar VMEM stores; XLA's scatter is the TPU answer.
 """
 
 from __future__ import annotations
@@ -97,61 +99,15 @@ def assign_manhattan_reference(x, y, mu, alive, radius):
 
 
 # --------------------------------------------------------------------------
-# SAE scatter-max (row-partitioned)
+# SAE scatter-max: intentionally NOT a Pallas kernel
 # --------------------------------------------------------------------------
-
-def _sae_kernel(rows0_ref, x_ref, y_ref, t_ref, valid_ref, sae_in_ref,
-                sae_out_ref):
-    """One horizontal band of the surface; every event lands via a masked
-    per-event store loop over a VMEM-resident band."""
-    band_h = sae_out_ref.shape[0]
-    row0 = rows0_ref[0, 0]
-    sae_out_ref[:, :] = sae_in_ref[:, :]
-    n = x_ref.shape[0]
-
-    def body(i, _):
-        yy = y_ref[i] - row0
-        xx = x_ref[i]
-        ok = (valid_ref[i] > 0) & (yy >= 0) & (yy < band_h)
-        yc = jnp.clip(yy, 0, band_h - 1)
-
-        @pl.when(ok)
-        def _():
-            cur = sae_out_ref[yc, xx]
-            sae_out_ref[yc, xx] = jnp.maximum(cur, t_ref[i])
-
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("bands", "interpret"))
-def sae_scatter_max(sae: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-                    t: jnp.ndarray, valid: jnp.ndarray,
-                    bands: int = 8, interpret: bool = False) -> jnp.ndarray:
-    """Band-partitioned scatter-max: each grid step owns H/bands rows, scans
-    all events, and stores the ones in its band — deterministic, no atomics.
-    Use when XLA's scatter is the bottleneck; otherwise ops/sae.py.
-    """
-    h, w = sae.shape
-    assert h % bands == 0
-    band_h = h // bands
-    n = x.shape[0]
-    rows0 = (jnp.arange(bands, dtype=jnp.int32) * band_h).reshape(bands, 1)
-    return pl.pallas_call(
-        _sae_kernel,
-        grid=(bands,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((band_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((band_h, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), sae.dtype),
-        interpret=interpret,
-    )(rows0, x.astype(jnp.int32), y.astype(jnp.int32), t.astype(sae.dtype),
-      valid.astype(jnp.int32), sae)
+# A band-partitioned Pallas scatter (each grid step owning H/bands rows and
+# storing its band's events in a fori_loop) was implemented and measured, but
+# Mosaic rejects per-event dynamic scalar stores to VMEM ("Cannot store
+# scalars to VMEM") — the formulation is unlowerable on real TPUs, and only
+# ran in interpret mode. XLA's native scatter-max (ops/sae.py:update_sae)
+# measures 0.86 ms per 16384-event slice in-scan and is the correct TPU
+# formulation for this op; likewise the fused Manhattan assignment above
+# only TIES the XLA fusion (0.95 vs 0.90 ms/slice) — XLA already fuses the
+# distance+argmin chain. The kernel above is kept as the validated Pallas
+# pattern for ops where XLA's fusion falls short.

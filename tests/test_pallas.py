@@ -37,15 +37,6 @@ def test_assign_manhattan_no_alive():
     assert np.all(np.asarray(labels) == -1)
 
 
-def test_sae_scatter_max_matches_xla():
-    rng = np.random.default_rng(1)
-    sensor = SensorConfig(width=128, height=64)
-    n = 512
-    x = jnp.asarray(rng.integers(0, sensor.width, n), jnp.int32)
-    y = jnp.asarray(rng.integers(0, sensor.height, n), jnp.int32)
-    t = jnp.asarray(np.sort(rng.integers(1, 10_000, n)), jnp.int32)
-    valid = jnp.asarray(rng.random(n) > 0.1)
-    sae0 = sae_ops.init_sae(sensor)
-    ref = sae_ops.update_sae(sae0, x, y, t, valid)
-    got = pk.sae_scatter_max(sae0, x, y, t, valid, bands=4, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+# A Pallas SAE scatter-max was removed: Mosaic cannot lower per-event scalar
+# stores to VMEM on real TPUs (see ops/pallas_kernels.py). The XLA scatter in
+# ops/sae.py is the TPU formulation and is oracle-tested in test_ops.py.
