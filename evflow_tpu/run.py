@@ -170,7 +170,7 @@ def cmd_dbscan(args):
     CSV/PCD export with per-cluster intensity (pcl_cluster.cpp pipeline)."""
     import jax.numpy as jnp
     from .config import DBSCANConfig
-    from .models.dbscan import dbscan
+    from .models.dbscan import dbscan, dbscan_grid
     from .models.pointcloud import voxel_downsample, ransac_plane, remove_plane
     from .utils import pcd as pcdio
 
@@ -194,7 +194,8 @@ def cmd_dbscan(args):
         pts = np.stack([s.x, s.y], axis=1).astype(np.float32)
     cfg = DBSCANConfig(eps=args.eps, core_min_pts=args.min_pts,
                        min_cluster_size=args.min_cluster_size)
-    res = dbscan(jnp.asarray(pts), cfg=cfg)
+    # grid-bucketed neighbors when they apply (d<=3), dense panels otherwise
+    res = dbscan_grid(pts, cfg=cfg)
     labels = np.asarray(res.labels)
     print(f"clusters={int(res.num_clusters)}")
     if args.export:

@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import pytest
 
 from evflow_tpu.config import DBSCANConfig
-from evflow_tpu.models.dbscan import dbscan, dbscan_reference_numpy
+from evflow_tpu.models.dbscan import dbscan, dbscan_grid, dbscan_reference_numpy
 from evflow_tpu.models.pointcloud import voxel_downsample, ransac_plane, remove_plane
 
 
@@ -97,3 +97,22 @@ def test_ransac_plane_and_removal():
     # plane normal ~ (0,0,±1)
     n = np.asarray(res.coeffs)[:3]
     assert abs(abs(n[2]) - 1.0) < 0.05
+
+
+def test_dbscan_grid_matches_dense():
+    rng = np.random.default_rng(4)
+    pts = np.concatenate([
+        rng.normal((0, 0), 2.0, (300, 2)),
+        rng.normal((100, 0), 2.0, (250, 2)),
+        rng.normal((0, 100), 2.0, (200, 2)),
+        rng.uniform(0, 100, (30, 2)),         # sparse noise
+    ]).astype(np.float32)
+    cfg = DBSCANConfig(eps=6.0, core_min_pts=8, min_cluster_size=50,
+                       max_cluster_size=10000)
+    dense = dbscan(jnp.asarray(pts), cfg=cfg)
+    grid = dbscan_grid(pts, cfg=cfg)
+    assert int(dense.num_clusters) == int(grid.num_clusters) == 3
+    # identical membership partition (label ids may permute)
+    ld, lg = np.asarray(dense.labels), np.asarray(grid.labels)
+    assert ({frozenset(s) for s in _as_sets(ld).values()}
+            == {frozenset(s) for s in _as_sets(lg).values()})
