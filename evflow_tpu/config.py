@@ -73,6 +73,10 @@ class DedupConfig:
     # Reference consumer reads every 2nd unique coordinate (stride 4 over an
     # x,y-interleaved array, accel …store.cpp:435-445). Quirk-gated.
     compat_stride2: bool = False
+    # Reference fabricates event timestamps for the cluster engine as
+    # cumulative_unique_count/1000.0 (accel …store.cpp:439) instead of real
+    # times — the szBuffer window then expires by "unique kilo-coords".
+    compat_fabricated_ts: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

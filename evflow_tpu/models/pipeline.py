@@ -125,18 +125,33 @@ def cluster_flow_step_exact(
     state: aeclustering.AEState,
     x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
     cfg: EngineConfig = DEFAULT,
-) -> Tuple[aeclustering.AEState, aeclustering.ClusterView]:
+    cum_unique: jnp.ndarray | None = None,
+) -> Tuple[aeclustering.AEState, aeclustering.ClusterView, jnp.ndarray]:
+    """Bit-parity per-event path. Returns (state, view, new_cum_unique).
+
+    By default real slice times feed the engine's sliding window. With
+    cfg.dedup.compat_fabricated_ts the reference's quirk is reproduced: every
+    consumed coordinate gets t = cumulative_unique_count/1000.0 (the running
+    total AFTER this slice's kernel, constant during consumption — accel
+    …store.cpp:439), so the szBuffer window expires by unique kilo-coords.
+    """
     ded = hash_dedup.dedup(x, y, valid, cfg.dedup, cfg.sensor)
     lane = jnp.arange(x.shape[0])
     uvalid = lane < ded.unique_count
-    # reference fabricates timestamps uniqueCount/1000 for the cluster engine
-    # (accel …store.cpp:439); we pass through real slice times by default —
-    # compat mode uses the fabricated monotonic counter.
-    tt = jnp.where(uvalid, jnp.max(jnp.where(valid, t, 0)), 0)
+    if cum_unique is None:
+        cum_unique = jnp.int32(0)
+    new_cum = cum_unique + ded.unique_count
+    if cfg.dedup.compat_fabricated_ts:
+        # engine times are int32; the reference's double uniqueCount/1000.0
+        # is monotone in uniqueCount, so the count itself is an equivalent
+        # clock (window spans scale by 1000: szBuffer compares times only)
+        tt = jnp.where(uvalid, new_cum, 0)
+    else:
+        tt = jnp.where(uvalid, jnp.max(jnp.where(valid, t, 0)), 0)
     state = aeclustering.update_slice(
         state, ded.unique_x, ded.unique_y, tt, jnp.zeros_like(ded.unique_x),
         uvalid, cfg.cluster)
-    return state, aeclustering.snapshot(state, cfg.cluster)
+    return state, aeclustering.snapshot(state, cfg.cluster), new_cum
 
 
 # --------------------------------------------------------------------------
