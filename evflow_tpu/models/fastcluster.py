@@ -163,7 +163,6 @@ def update_slice(
     n_free = jnp.sum(free.astype(jnp.int32))
     n_occ = jnp.sum(occupied.astype(jnp.int32))
     n_new = jnp.minimum(jnp.minimum(n_occ, n_free), c)
-    take = jnp.arange(c) < n_new               # seeding positions to fill
     # Rank occupied cells in cell-index order (cumsum — no sorts: argsort-fed
     # scatters hit a pathological Mosaic lowering, SURVEY of this backend) and
     # map rank k -> k-th occupied cell via a drop-scatter. Cells beyond the

@@ -286,6 +286,10 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     bucket = _next_pow2(int(occ.max()))
     if bucket > max_bucket:
         return None
+    # flat bucket-table indices are int32 and the table must stay HBM-sane:
+    # max_cells and max_bucket individually pass cases whose PRODUCT wraps
+    if (ncells + 1) * (d + 1) * bucket >= 2**31 - 1:
+        return None
 
     m = (3 ** d) * bucket
     select_k = 0 if m <= max_neighbors else min(max_neighbors, n)

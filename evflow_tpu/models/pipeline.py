@@ -143,8 +143,11 @@ def cluster_flow_step_exact(
     new_cum = cum_unique + ded.unique_count
     if cfg.dedup.compat_fabricated_ts:
         # engine times are int32; the reference's double uniqueCount/1000.0
-        # is monotone in uniqueCount, so the count itself is an equivalent
-        # clock (window spans scale by 1000: szBuffer compares times only)
+        # is monotone in uniqueCount (ties included), so the raw count is an
+        # EXACT equivalent clock: the szBuffer window is count-based (a deque
+        # of the last szBuffer clock values, AEClustering.cpp:132-140) and
+        # forget() only ever compares clock values to each other — no
+        # absolute time spans exist anywhere, so the 1000x scale is inert
         tt = jnp.where(uvalid, new_cum, 0)
     else:
         tt = jnp.where(uvalid, jnp.max(jnp.where(valid, t, 0)), 0)

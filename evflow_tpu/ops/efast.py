@@ -65,6 +65,13 @@ def _gather_rings(sae: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     if not axis_order_yx:
         dy, dx = dx, dy  # fast_corner.cpp transposed variant
     h, w = sae.shape
+    if w % _SEG:
+        # pad columns to the segment width (DAVIS346-style sensors, tiled
+        # slabs). For any w, the two segments of an in-border event fit the
+        # padded row: b_max+16 = 8*(floor((w-9)/8)+2) <= 8*ceil(w/8), and
+        # ring pixels of in-border events never read the padded columns.
+        sae = jnp.pad(sae, ((0, 0), (0, _SEG - w % _SEG)))
+        w = sae.shape[1]
     rows8 = w // _SEG
     sae8 = sae.reshape(h * rows8, _SEG)
     b = (x - 4) & ~(_SEG - 1)

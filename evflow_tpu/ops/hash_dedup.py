@@ -68,21 +68,11 @@ def dedup(
 ) -> DedupResult:
     """Deduplicate one slice of events. Shapes: x, y, valid are (N,)."""
     n = x.shape[0]
-    key, nkeys, ok = _keys(x, y, valid, cfg, sensor)
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    # First occupant per bucket = min event index in the bucket.
-    from .segment import scatter_min
-    winner = scatter_min(idx, key, nkeys + 1, jnp.int32(2**31 - 1))
-    unique_mask = ok & (winner[key] == idx)
-
-    # Bucket occupancy for repeated_count (buckets hit >= 2 times; cl:73-75).
-    occ = jax.ops.segment_sum(jnp.ones_like(idx), key, num_segments=nkeys + 1)
-    repeated_count = jnp.sum((occ[:nkeys] >= 2).astype(jnp.int32))
+    m = dedup_mask(x, y, valid, cfg, sensor)
+    unique_mask, unique_count, repeated_count = m
 
     # Order-preserving compaction of unique coordinates.
     pos = jnp.cumsum(unique_mask.astype(jnp.int32)) - 1
-    unique_count = jnp.sum(unique_mask.astype(jnp.int32))
     scatter_pos = jnp.where(unique_mask, pos, n - 1)  # parked writes are masked
     ux = jnp.zeros((n,), jnp.int32).at[scatter_pos].set(
         jnp.where(unique_mask, x, 0), mode="drop")

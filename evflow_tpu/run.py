@@ -256,8 +256,14 @@ def main(argv=None):
         import jax
         # env vars cannot override a sitecustomize-forced platform; the
         # config update after import can (this rig forces the remote TPU)
-        jax.config.update("jax_platforms",
-                          "cpu" if args.backend == "cpu" else None)
+        if args.backend == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        else:
+            jax.config.update("jax_platforms", None)  # default selection
+            plat = jax.devices()[0].platform
+            if plat == "cpu":
+                sys.exit("error: --backend tpu requested but no accelerator "
+                         "platform is available (found cpu only)")
     args.fn(args)
 
 

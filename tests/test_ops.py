@@ -260,3 +260,23 @@ def test_pairwise_sqdist_large_coordinate_precision():
                - pts[None, :, :].astype(np.float64)) ** 2).sum(-1)
     eps = 5.64
     np.testing.assert_array_equal(d2 <= eps**2, oracle <= eps**2)
+
+
+def test_efast_non_multiple_of_8_width():
+    """DAVIS346-style geometry (346x260): the row-segment gather must pad the
+    surface internally; results match the scalar oracle (regression: reshape
+    crash for width % 8 != 0)."""
+    from evflow_tpu.ops import efast, sae as sae_ops
+    from evflow_tpu.config import EFastConfig, SensorConfig
+    sensor = SensorConfig(width=346, height=260)
+    cfg = EFastConfig()
+    rng = np.random.default_rng(17)
+    sae = jnp.asarray(rng.integers(0, 1 << 20, (sensor.height, sensor.width)),
+                      jnp.int32)
+    n = 256
+    x = jnp.asarray(rng.integers(0, sensor.width, n), jnp.int32)
+    y = jnp.asarray(rng.integers(0, sensor.height, n), jnp.int32)
+    got = np.asarray(efast.detect_corners(sae, x, y, jnp.ones(n, bool),
+                                          cfg, sensor))
+    exp = efast.detect_corners_reference_numpy(sae, x, y, cfg, sensor)
+    np.testing.assert_array_equal(got, exp)
