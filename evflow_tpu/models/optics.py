@@ -232,19 +232,23 @@ def _compute_neighbors_grid_jit(pts, mins, eps, dims, bucket,
         dist = jnp.where(ok, dist, jnp.inf)
         ci = jnp.where(ok, ci, -1)
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
-        if min_pts <= m:
-            negk = jax.lax.top_k(-dist, min_pts)[0]
-            core = -negk[:, min_pts - 1]
-        else:
-            core = jnp.full((block,), jnp.inf, jnp.float32)
-        core = jnp.where(cnt >= min_pts, core, jnp.inf)
         if select_k:                                  # keep the k nearest only
             negs, posk = jax.lax.top_k(-dist, select_k)
-            sd = -negs
+            sd = -negs                                # ascending distances
             si = jnp.take_along_axis(ci, posk, axis=1)
             si = jnp.where(jnp.isfinite(sd), si, -1)
+            if min_pts <= select_k:                   # core falls out of sd
+                core = sd[:, min_pts - 1]
+            else:
+                core = jnp.full((block,), jnp.inf, jnp.float32)
         else:                                         # full unsorted window
             sd, si = dist, ci
+            if min_pts <= m:
+                negk = jax.lax.top_k(-dist, min_pts)[0]
+                core = -negk[:, min_pts - 1]
+            else:
+                core = jnp.full((block,), jnp.inf, jnp.float32)
+        core = jnp.where(cnt >= min_pts, core, jnp.inf)
         return (jax.lax.dynamic_update_slice_in_dim(idx_acc, si, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(d_acc, sd, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(c_acc, cnt, i * block, 0),
@@ -292,7 +296,9 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
         return None
 
     m = (3 ** d) * bucket
-    select_k = 0 if m <= max_neighbors else min(max_neighbors, n)
+    # the select path reads core_dist out of its own sorted prefix, so keep
+    # at least min_pts neighbors
+    select_k = 0 if m <= max_neighbors else min(max(max_neighbors, min_pts), n)
     nblocks = -(-n // block)
     idx, dist, cnt, core = _compute_neighbors_grid_jit(
         jnp.asarray(pts_np, jnp.float32), jnp.asarray(mins, jnp.float32),
