@@ -155,7 +155,11 @@ def cmd_optics(args):
     s = _load(args)
     pts = np.stack([s.x, s.y], axis=1).astype(np.float64)
     rd = optics.compute_reachability_dists(pts, args.min_pts, args.eps)
-    clusters = optics.get_cluster_indices(rd, args.threshold)
+    if args.chi > 0:
+        flat = optics.get_chi_clusters_flat(rd, args.chi, args.min_pts)
+        clusters = optics.get_cluster_indices_chi(rd, flat)
+    else:
+        clusters = optics.get_cluster_indices(rd, args.threshold)
     print(f"Cluster size : {len(clusters)}")
     for j, c in enumerate(clusters):
         p = pts[np.asarray(c, int)]
@@ -163,6 +167,20 @@ def cmd_optics(args):
               f"{p[:,0].var():g},{p[:,1].var():g}")
     if args.export:
         optics.export_reachability_dists(rd, args.export)
+    if args.out:
+        # reference app B artifacts: reachability plot (with chi extents when
+        # chi extraction ran) + colored 2-D cluster render, as binary PPM
+        from .utils import plots
+        os.makedirs(args.out, exist_ok=True)
+        if args.chi > 0:
+            img = plots.draw_reachability_plot_with_chi_clusters(
+                rd, args.chi, args.min_pts)
+        else:
+            img = plots.draw_reachability_plot(rd)
+        img.save(os.path.join(args.out, "reachability_plot"))
+        pts_per_cluster = [pts[np.asarray(c, int)] for c in clusters]
+        plots.draw_2d_clusters(pts_per_cluster).save(
+            os.path.join(args.out, "clusters_2d"))
 
 
 def cmd_dbscan(args):
@@ -240,6 +258,9 @@ def main(argv=None):
     p.add_argument("--eps", type=float, default=10.0)
     p.add_argument("--min-pts", type=int, default=2)
     p.add_argument("--threshold", type=float, default=10.0)
+    p.add_argument("--chi", type=float, default=0.0,
+                   help="use xi steep-area extraction with this chi instead "
+                        "of the reachability threshold")
     p.add_argument("--export", default="")
     p = add("dbscan", cmd_dbscan)
     p.add_argument("--eps", type=float, default=20.0)

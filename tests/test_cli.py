@@ -62,3 +62,16 @@ def test_cli_corner_track(small_stream, capsys):
     main(["corner-track", "--input", small_stream])
     out = capsys.readouterr().out
     assert "corners=" in out
+
+
+def test_cli_optics_chi_and_plots(tmp_path, capsys):
+    out = str(tmp_path / "frames")
+    main(["optics", "--input", FIXTURE, "--eps", "10", "--chi", "0.1",
+          "--out", out])
+    text = capsys.readouterr().out
+    assert "Cluster size" in text
+    import os
+    files = sorted(os.listdir(out))
+    assert files == ["clusters_2d.ppm", "reachability_plot.ppm"]
+    with open(os.path.join(out, "reachability_plot.ppm"), "rb") as f:
+        assert f.read(2) == b"P6"
