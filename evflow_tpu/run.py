@@ -99,13 +99,19 @@ def cmd_corner_track(args):
     """App G: SAE → eFAST → NMS → tracker with groups."""
     from .config import DEFAULT
     from .models.pipeline import CornerTrackPipeline
-    pipe = CornerTrackPipeline(DEFAULT)
+    cfg = DEFAULT
+    pipe = CornerTrackPipeline(cfg)
     outs = pipe.run(_load(args))
     for i, out in enumerate(outs):
         act = np.asarray(out.track_active)
         ng = int(np.asarray(out.groups.exists).sum())
         print(f"slice {i}: corners={int(out.num_corners)} "
               f"filtered={int(out.num_filtered)} tracks={int(act.sum())} groups={ng}")
+        if args.out:
+            from .utils.plots import render_track_frame
+            os.makedirs(args.out, exist_ok=True)
+            img = render_track_frame(cfg.sensor.width, cfg.sensor.height, out)
+            img.save(os.path.join(args.out, f"tracked_corners{i}"))
 
 
 def cmd_kmeans(args):

@@ -141,3 +141,34 @@ def render_cluster_frame(width: int, height: int, out, member_xy=None,
         if px > 0 and py > 0:
             img.arrow(int(round(px)), int(round(py)), cx, cy, (0, 255, 0))
     return img
+
+
+def render_track_frame(width: int, height: int, out,
+                       arrow_scale: float = 3.0) -> BGRImage:
+    """Per-slice corner-tracker frame — CornerVisualizer::visualizeTrackedCorners
+    (group_track.cpp:539-626): group circles with their radius, group-velocity
+    arrows scaled for visibility, per-corner dots colored by group membership.
+    (The reference's "px/f" magnitude text requires a font; omitted — the
+    arrow length carries the magnitude.)"""
+    img = BGRImage(width, height, fill=(0, 0, 0))
+    groups = out.groups
+    exists = np.asarray(groups.exists)
+    gcent = np.asarray(groups.centroid)
+    gvel = np.asarray(groups.avg_velocity)
+    grad = np.asarray(groups.radius)
+    for g in np.where(exists)[0]:
+        cx, cy = int(round(gcent[g, 0])), int(round(gcent[g, 1]))
+        img.circle(cx, cy, max(int(round(grad[g])), 2), (255, 200, 0))
+        img.arrow(cx, cy,
+                  int(round(gcent[g, 0] + arrow_scale * gvel[g, 0])),
+                  int(round(gcent[g, 1] + arrow_scale * gvel[g, 1])),
+                  (0, 255, 255))
+    act = np.asarray(out.track_active)
+    pos = np.asarray(out.track_pos)
+    grp = np.asarray(out.track_group)
+    for i in np.where(act)[0]:
+        col = (CLUSTER_COLORS[int(grp[i]) % len(CLUSTER_COLORS)]
+               if grp[i] >= 0 else (200, 200, 200))
+        img.circle(int(round(pos[i, 0])), int(round(pos[i, 1])), 2, col,
+                   filled=True)
+    return img
