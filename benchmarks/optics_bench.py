@@ -47,7 +47,7 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
                                          approx=True)
         _np.asarray(table.count[:1])
         dev_times.append(time.perf_counter() - t0)
-    # grid-bucketed path (None when it does not apply, e.g. dim > 3)
+    # grid-bucketed path (None when it does not apply, e.g. dim > 4)
     grid_best = None
     if optics.compute_neighbors_grid(pts, eps, min_pts,
                                      max_neighbors=max_neighbors) is not None:
@@ -70,7 +70,7 @@ def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     readback runs at PCIe rates."""
     pts = uniform_cloud(n_points, dim, volume, seed=1)
     eps = optics.epsilon_estimation(pts, min_pts)
-    # warm the exact dense kernel: when the grid declines (d > 3) the auto
+    # warm the exact dense kernel: when the grid declines (high dim) the auto
     # path falls back to approx=False dense — a static arg run_device never
     # compiled, and a first-time XLA compile in the timed region would
     # swamp the measurement
