@@ -75,3 +75,33 @@ if __name__ == "__main__":
     with open(GOLDEN, "w") as f:
         json.dump(rows, f, indent=1)
     print(f"wrote {GOLDEN}: {len(rows)} slices")
+
+
+def test_full_scan_matches_separate_scans():
+    """pipeline.full_scan (the bench entry) must equal the two separate scans
+    it fuses, state and outputs both."""
+    import jax
+    from evflow_tpu.models import pipeline, fastcluster
+    from evflow_tpu.io import synthetic, slice_by_count
+    cfg = dataclasses.replace(DEFAULT, slicing=SliceConfig(n_events=512))
+    stream = synthetic.moving_blob_stream(
+        num_slices=4, events_per_slice=512,
+        blob_centers=((100.0, 100.0), (300.0, 200.0)),
+        velocities=((10.0, 5.0), (-8.0, 4.0)), sigma=8.0)
+    sl = slice_by_count(stream, 512, drop_partial=True)
+    t0 = int(stream.t[0])
+    xs = jnp.asarray(sl.x); ys = jnp.asarray(sl.y)
+    ts = jnp.asarray((sl.t - t0).astype(np.int32))
+    vs = jnp.asarray(sl.valid_mask())
+    cl0 = fastcluster.init_state(cfg.cluster)
+    co0 = pipeline.init_corner_state(cfg)
+    (cl_f, co_f), (out_cl_f, out_co_f) = pipeline.full_scan(
+        cl0, co0, xs, ys, ts, vs, cfg)
+    cl_s, out_cl_s = pipeline.cluster_flow_scan(cl0, xs, ys, vs, cfg)
+    co_s, out_co_s = pipeline.corner_track_scan(co0, xs, ys, ts, vs, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves((cl_f, out_cl_f)),
+                    jax.tree_util.tree_leaves((cl_s, out_cl_s))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves((co_f, out_co_f)),
+                    jax.tree_util.tree_leaves((co_s, out_co_s))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
