@@ -299,8 +299,12 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
         return None
 
     m = (3 ** d) * bucket
-    # the select path reads core_dist out of its own sorted prefix, so keep
-    # at least min_pts neighbors
+    # the select path reads core_dist out of its own sorted prefix, so it
+    # would need at least min_pts neighbors; lax.top_k at k >= ~256 on wide
+    # rows is the known pathological case on this backend — let the dense
+    # panels handle huge-min_pts configs instead
+    if m > max_neighbors and min_pts > max_neighbors:
+        return None
     select_k = 0 if m <= max_neighbors else min(max(max_neighbors, min_pts), n)
     nblocks = -(-n // block)
     idx, dist, cnt, core = _compute_neighbors_grid_jit(
