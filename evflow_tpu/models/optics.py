@@ -88,13 +88,6 @@ def _neighbor_block(rows, pts, eps, k, approx):
     return idx.astype(jnp.int32), topd, cnt
 
 
-@dataclasses.dataclass(frozen=True)
-class _NbrShape:
-    n: int
-    k: int
-    block: int
-
-
 @functools.partial(jax.jit,
                    static_argnames=("k", "block", "nblocks", "min_pts", "approx"))
 def _compute_neighbors_jit(pts_pad, pts, eps, k, block, nblocks, min_pts, approx):
