@@ -68,10 +68,13 @@ def main():
     for _ in range(reps):
         out = run(cl_state, co_state, xs, ys, ts, vs)
     np.asarray(out[1][0].unique_count[:1])
-    best = (time.perf_counter() - start) / reps
+    # mean over the chained reps (NOT best-of: round-1 changed the methodology
+    # from best-of-reps to a mean over chained dispatches with one draining
+    # readback; the variable name now says so)
+    mean_step = (time.perf_counter() - start) / reps
 
     total_events = n_slices * n
-    events_per_s = total_events / best
+    events_per_s = total_events / mean_step
     print(json.dumps({
         "metric": "cluster+track pipeline throughput",
         "value": round(events_per_s, 1),

@@ -27,17 +27,28 @@ and documented):
      at slice granularity)
   6. per-cluster centroid flow = centroid - previous centroid, keyed by
      persistent cluster id (accel …store.cpp:503-517)
+
+Single-device and tile-parallel execution share ONE implementation
+(`_update_slice_impl`), parameterized on an optional shard_map axis name: with
+an axis, the per-event heavy work (assignment distances, ranking sort, segment
+sums) stays tile-local and only per-cluster/per-cell partials cross the
+interconnect (psum of the (G, 3) orphan-cell aggregates, all_gather of (C,)
+local member counts for tile-major global EWMA ranks, psum of the (C, 5)
+slice aggregates). State stays replicated bit-identically on every tile; the
+result equals the single-device update on the tile-major concatenation of all
+tiles' events (fp reduction order aside) — equivalence-tested in
+tests/test_parallel.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import ClusterConfig, FlowConfig, SensorConfig
+from ..config import ClusterConfig, SensorConfig
 
 _BIG = jnp.int32(2**31 - 1)
 
@@ -83,16 +94,21 @@ def init_state(cfg: ClusterConfig = ClusterConfig(), window_slices: int = 4) -> 
     )
 
 
-def _slice_aggregates(mu0, pts, labels, valid, c, alpha):
+def _slice_aggregates(mu0, pts, labels, valid, c, alpha, axis: Optional[str]):
     """EWMA means advanced in stream order + per-cluster (count, coord sum).
 
     mu' = (1-a)^k mu0 + a * sum_i (1-a)^(k-1-i) x_i  for the k members
     (i = 0 oldest) — the closed form of the per-event recurrence. One
-    (ids, lane) sort yields both the stream-order rank (forward max-scan of
-    run starts) and the run length k per event (reverse min-scan of next run
-    starts), so the per-event weights need no gather back through labels;
-    count, coord sums, and weighted sums then ride ONE 5-channel segment_sum
-    (scatters are the expensive primitive on this backend — fuse them).
+    (ids, lane) sort yields the stream-order rank per event (forward max-scan
+    of run starts); count, coord sums, and weighted sums then ride ONE
+    5-channel segment_sum (scatters are the expensive primitive on this
+    backend — fuse them).
+
+    axis=None: the per-cluster member count k rides the same sorted panel as
+    a reverse min-scan of next run starts — no gather back through labels.
+    axis set (inside shard_map): the stream order is tile-major, so each
+    event's global rank = local rank + member count in earlier tiles; local
+    counts are all_gathered and the (C, 5) aggregate partials psummed.
     """
     n = pts.shape[0]
     ids = jnp.where(valid, labels, c).astype(jnp.int32)
@@ -102,20 +118,37 @@ def _slice_aggregates(mu0, pts, labels, valid, c, alpha):
     first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
     run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
     rank_sorted = iota - run_start
-    nxt = jnp.concatenate([jnp.where(first, iota, n)[1:],
-                           jnp.array([n], jnp.int32)])
-    run_end = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(nxt)))
-    k_sorted = run_end - run_start
-    # w_i = a * (1-a)^(k-1-r_i), exponent clamped at 80 (fp32 underflow —
-    # contributions older than ~64 steps vanish anyway)
+
     la = jnp.log1p(-alpha)  # log(1-a), a<1
-    expo = jnp.clip((k_sorted - 1 - rank_sorted).astype(jnp.float32), 0.0, 80.0)
+    if axis is None:
+        nxt = jnp.concatenate([jnp.where(first, iota, n)[1:],
+                               jnp.array([n], jnp.int32)])
+        run_end = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(nxt)))
+        k_sorted = run_end - run_start
+        # w_i = a * (1-a)^(k-1-r_i), exponent clamped at 80 (fp32 underflow —
+        # contributions older than ~64 steps vanish anyway)
+        expo = (k_sorted - 1 - rank_sorted).astype(jnp.float32)
+    else:
+        k_loc = jax.ops.segment_sum(valid.astype(jnp.int32), ids,
+                                    num_segments=c + 1)[:c]
+        k_all = jax.lax.all_gather(k_loc, axis)               # (T, C)
+        me = jax.lax.axis_index(axis)
+        earlier = (jnp.arange(k_all.shape[0]) < me)[:, None]
+        offset_c = jnp.sum(jnp.where(earlier, k_all, 0), axis=0)   # (C,)
+        k_glob = jnp.sum(k_all, axis=0)                             # (C,)
+        sids_c = jnp.clip(sids, 0, c - 1)
+        grank_sorted = rank_sorted + offset_c[sids_c]
+        expo = (k_glob[sids_c] - 1 - grank_sorted).astype(jnp.float32)
+
+    expo = jnp.clip(expo, 0.0, 80.0)
     w_sorted = jnp.where(sids < c, alpha * jnp.exp(expo * la), 0.0)
     w = jnp.zeros((n,), jnp.float32).at[sl].set(w_sorted)
 
     feats = jnp.concatenate(
         [jnp.ones((n, 1), jnp.float32), pts, w[:, None] * pts], axis=1)
     sums = jax.ops.segment_sum(feats, ids, num_segments=c + 1)[:c]
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)                       # (C, 5) global
     k_c = sums[:, 0].astype(jnp.int32)   # exact: counts << 2^24
     sum_slice = sums[:, 1:3]
     wsum = sums[:, 3:5]
@@ -125,22 +158,22 @@ def _slice_aggregates(mu0, pts, labels, valid, c, alpha):
     return mu, k_c, sum_slice
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sensor", "grid_cells"))
-def update_slice(
+def _update_slice_impl(
     state: FastState,
     x: jnp.ndarray,
     y: jnp.ndarray,
     valid: jnp.ndarray,
-    cfg: ClusterConfig = ClusterConfig(),
-    sensor: SensorConfig = SensorConfig(),
-    grid_cells: int = 4096,
+    cfg: ClusterConfig,
+    sensor: SensorConfig,
+    grid_cells: int,
+    axis: Optional[str],
 ) -> Tuple[FastState, SliceOutput]:
-    """One slice step over (N,) deduped event coordinates."""
+    """One slice step over (N,) deduped event coordinates (see module doc)."""
     c = cfg.max_clusters
     n = x.shape[0]
     pts = jnp.stack([x, y], axis=1).astype(jnp.float32)
 
-    # ---- 1. assignment to start-of-slice means (Manhattan, gated)
+    # ---- 1. assignment to start-of-slice means (Manhattan, gated; local)
     d = jnp.sum(jnp.abs(pts[:, None, :] - state.mu[None, :, :]), axis=-1)  # (N, C)
     d = jnp.where(state.alive[None, :], d, jnp.inf)
     best = jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -148,7 +181,9 @@ def update_slice(
     assigned = valid & (best_d <= cfg.radius)
     labels = jnp.where(assigned, best, -1)
 
-    # ---- 2. seed new clusters from orphan events via grid cells
+    # ---- 2. seed new clusters from orphan events via grid cells; with an
+    # axis the local cell aggregates are psummed so the seeding decision is
+    # replicated and identical to the single-device path
     cell_w = max(int(cfg.radius), 1)
     ncx = -(-sensor.width // cell_w)
     cell = (y // cell_w) * ncx + (x // cell_w)
@@ -156,6 +191,8 @@ def update_slice(
     cell_feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), pts], axis=1)
     cell_agg = jax.ops.segment_sum(cell_feats, cell,
                                    num_segments=grid_cells + 1)[:grid_cells]
+    if axis is not None:
+        cell_agg = jax.lax.psum(cell_agg, axis)               # (G, 3) global
     cell_cnt = cell_agg[:, 0].astype(jnp.int32)   # exact: counts << 2^24
     cell_sum = cell_agg[:, 1:3]
     occupied = cell_cnt > 0
@@ -207,15 +244,14 @@ def update_slice(
 
     # ---- 3+4. EWMA means and windowed membership aggregates (one fused pass)
     mu, cnt_slice, sum_slice = _slice_aggregates(
-        mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha)
+        mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha, axis)
     head = state.ring_head
     rc = rc.at[:, head].set(cnt_slice)
     rs = rs.at[:, head].set(sum_slice)
     n_window = jnp.sum(rc, axis=1)
-    sum_window = jnp.sum(rs, axis=1)
-    centroid = sum_window / jnp.maximum(n_window, 1)[:, None].astype(jnp.float32)
 
-    # ---- 5. merge clusters with means within radius (weighted, min-order wins)
+    # ---- 5. merge clusters with means within radius (weighted, min-order
+    # wins; replicated when distributed — identical inputs on every tile)
     dmu = jnp.sum(jnp.abs(mu[:, None, :] - mu[None, :, :]), axis=-1)
     adj = (dmu <= cfg.radius) & alive[:, None] & alive[None, :]
     # connected components by min-order label propagation (C small: iterate)
@@ -269,6 +305,20 @@ def update_slice(
     return new_state, out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sensor", "grid_cells"))
+def update_slice(
+    state: FastState,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: ClusterConfig = ClusterConfig(),
+    sensor: SensorConfig = SensorConfig(),
+    grid_cells: int = 4096,
+) -> Tuple[FastState, SliceOutput]:
+    """One slice step over (N,) deduped event coordinates."""
+    return _update_slice_impl(state, x, y, valid, cfg, sensor, grid_cells, None)
+
+
 def update_slice_distributed(
     state: FastState,
     x: jnp.ndarray,
@@ -283,161 +333,7 @@ def update_slice_distributed(
 
     x, y, valid are the LOCAL tile's events; state is replicated and stays
     bit-identical on every tile. NO event data crosses the interconnect —
-    the collectives are per-cluster partials only:
-      - psum of (grid_cells, 3) orphan-cell aggregates  → replicated seeding
-        in global cell-index order (identical to the single-device path)
-      - all_gather of (C,) per-cluster local counts     → tile-major global
-        EWMA ranks (rank = local rank + count in earlier tiles)
-      - psum of (C, 5) count/coord-sum/weighted-sum partials
-    Heavy per-event work (assignment distances, ranking sort, segment sums)
-    stays local, so per-tile cost shrinks ~linearly with the mesh while the
-    replicated tail is O(C² + grid_cells). Equivalent to update_slice on the
-    tile-major concatenation of all tiles' events (fp-reduction order aside);
-    equivalence-tested in tests/test_parallel.py.
+    only per-cluster/per-cell partials do (see module docstring). Same
+    implementation as update_slice, with the collectives switched on.
     """
-    c = cfg.max_clusters
-    n = x.shape[0]
-    pts = jnp.stack([x, y], axis=1).astype(jnp.float32)
-
-    # ---- 1. assignment to start-of-slice means (local)
-    d = jnp.sum(jnp.abs(pts[:, None, :] - state.mu[None, :, :]), axis=-1)
-    d = jnp.where(state.alive[None, :], d, jnp.inf)
-    best = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best_d = jnp.min(d, axis=1)
-    assigned = valid & (best_d <= cfg.radius)
-    labels = jnp.where(assigned, best, -1)
-
-    # ---- 2. seeding: local cell aggregates, psum, then replicated logic
-    cell_w = max(int(cfg.radius), 1)
-    ncx = -(-sensor.width // cell_w)
-    cell = (y // cell_w) * ncx + (x // cell_w)
-    cell = jnp.where(valid & ~assigned, cell % grid_cells, grid_cells).astype(jnp.int32)
-    cell_feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), pts], axis=1)
-    cell_agg = jax.ops.segment_sum(cell_feats, cell,
-                                   num_segments=grid_cells + 1)[:grid_cells]
-    cell_agg = jax.lax.psum(cell_agg, axis)                   # (G, 3) global
-    cell_cnt = cell_agg[:, 0].astype(jnp.int32)
-    cell_sum = cell_agg[:, 1:3]
-    occupied = cell_cnt > 0
-    free = ~state.alive
-    n_free = jnp.sum(free.astype(jnp.int32))
-    n_occ = jnp.sum(occupied.astype(jnp.int32))
-    n_new = jnp.minimum(jnp.minimum(n_occ, n_free), c)
-    occ_rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
-    rank_pos = jnp.where(occupied & (occ_rank < c), occ_rank, c)
-    cell_of_rank = jnp.full((c + 1,), 0, jnp.int32).at[rank_pos].set(
-        jnp.arange(grid_cells, dtype=jnp.int32), mode="drop")[:c]
-    seed_mu = cell_sum[cell_of_rank] / jnp.maximum(cell_cnt[cell_of_rank], 1)[:, None]
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    pos_of_slot = jnp.where(free & (free_rank < n_new), free_rank, c)
-    seeded_slot = pos_of_slot < c
-    pgather = jnp.clip(pos_of_slot, 0, c - 1)
-    alive = state.alive | seeded_slot
-    mu = jnp.where(seeded_slot[:, None], seed_mu[pgather], state.mu)
-    cid = jnp.where(seeded_slot, state.next_cid + pgather, state.cid)
-    corder = jnp.where(seeded_slot, state.next_order + pgather, state.corder)
-    next_cid = state.next_cid + n_new
-    next_order = state.next_order + n_new
-    rc = jnp.where(seeded_slot[:, None], 0, state.ring_count)
-    rs = jnp.where(seeded_slot[:, None, None], 0.0, state.ring_sum)
-    has_prev = jnp.where(seeded_slot, False, state.has_prev)
-    centroid_prev = jnp.where(seeded_slot[:, None], 0.0, state.centroid_prev)
-    slot_for_pos = jnp.full((c + 1,), c, jnp.int32).at[pos_of_slot].set(
-        jnp.arange(c, dtype=jnp.int32), mode="drop")[:c]
-
-    # route local orphans to their (globally agreed) seeded slot
-    ev_pos = occ_rank[jnp.clip(cell, 0, grid_cells - 1)]
-    ev_seeded = valid & ~assigned & (cell < grid_cells) & (ev_pos < n_new)
-    ev_slot = slot_for_pos[jnp.clip(ev_pos, 0, c - 1)]
-    labels = jnp.where(ev_seeded, ev_slot, labels)
-    member = labels >= 0
-
-    # ---- 3+4. EWMA + aggregates with tile-major global ranks
-    ids = jnp.where(member, jnp.maximum(labels, 0), c).astype(jnp.int32)
-    lane = jnp.arange(n, dtype=jnp.int32)
-    sids, sl = jax.lax.sort((ids, lane), num_keys=2)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
-    rank_local_sorted = iota - run_start
-
-    k_loc = jax.ops.segment_sum(member.astype(jnp.int32), ids,
-                                num_segments=c + 1)[:c]
-    k_all = jax.lax.all_gather(k_loc, axis)                   # (T, C)
-    me = jax.lax.axis_index(axis)
-    t_total = k_all.shape[0]
-    earlier = (jnp.arange(t_total) < me)[:, None]
-    offset_c = jnp.sum(jnp.where(earlier, k_all, 0), axis=0)  # (C,)
-    k_glob = jnp.sum(k_all, axis=0)                           # (C,)
-
-    la = jnp.log1p(-cfg.alpha)
-    sids_c = jnp.clip(sids, 0, c - 1)
-    grank_sorted = rank_local_sorted + offset_c[sids_c]
-    expo = jnp.clip((k_glob[sids_c] - 1 - grank_sorted).astype(jnp.float32),
-                    0.0, 80.0)
-    w_sorted = jnp.where(sids < c, cfg.alpha * jnp.exp(expo * la), 0.0)
-    w = jnp.zeros((n,), jnp.float32).at[sl].set(w_sorted)
-
-    feats = jnp.concatenate(
-        [jnp.ones((n, 1), jnp.float32), pts, w[:, None] * pts], axis=1)
-    sums = jax.ops.segment_sum(feats, ids, num_segments=c + 1)[:c]
-    sums = jax.lax.psum(sums, axis)                           # (C, 5) global
-    cnt_slice = sums[:, 0].astype(jnp.int32)
-    sum_slice = sums[:, 1:3]
-    wsum = sums[:, 3:5]
-    decay = jnp.exp(jnp.clip(cnt_slice.astype(jnp.float32), 0.0, 80.0) * la)
-    mu = jnp.where((cnt_slice > 0)[:, None], decay[:, None] * mu + wsum, mu)
-
-    head = state.ring_head
-    rc = rc.at[:, head].set(cnt_slice)
-    rs = rs.at[:, head].set(sum_slice)
-    n_window = jnp.sum(rc, axis=1)
-
-    # ---- 5. merge (replicated; identical inputs on every tile)
-    dmu = jnp.sum(jnp.abs(mu[:, None, :] - mu[None, :, :]), axis=-1)
-    adj = (dmu <= cfg.radius) & alive[:, None] & alive[None, :]
-    comp = jnp.where(alive, corder, _BIG)
-
-    def prop(_, comp):
-        neigh = jnp.where(adj, comp[None, :], _BIG)
-        return jnp.minimum(comp, jnp.min(neigh, axis=1))
-
-    comp = jax.lax.fori_loop(0, 8, prop, comp)
-    is_root = alive & (comp == corder)
-    eq = alive[None, :] & (corder[None, :] == comp[:, None])
-    root_slot = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    merged_into = jnp.where(alive, root_slot, jnp.arange(c, dtype=jnp.int32))
-
-    wm = n_window.astype(jnp.float32)
-    mu_num = jax.ops.segment_sum(wm[:, None] * mu, merged_into, num_segments=c)
-    mu_den = jax.ops.segment_sum(wm, merged_into, num_segments=c)
-    mu = jnp.where(is_root[:, None], mu_num / jnp.maximum(mu_den, 1.0)[:, None], mu)
-    rc = jax.ops.segment_sum(rc, merged_into, num_segments=c)
-    rs = jax.ops.segment_sum(rs, merged_into, num_segments=c)
-    rc = jnp.where(is_root[:, None], rc, 0)
-    rs = jnp.where(is_root[:, None, None], rs, 0.0)
-    labels = jnp.where(member, merged_into[jnp.clip(labels, 0, c - 1)], labels)
-    alive = is_root
-    n_window = jnp.sum(rc, axis=1)
-    sum_window = jnp.sum(rs, axis=1)
-    centroid = sum_window / jnp.maximum(n_window, 1)[:, None].astype(jnp.float32)
-
-    alive = alive & (n_window > 0)
-
-    # ---- 6. flow vs previous reported centroid
-    reported = alive & (n_window >= cfg.min_n)
-    flow = jnp.where((reported & has_prev)[:, None],
-                     centroid - centroid_prev, 0.0)
-    centroid_prev = jnp.where(reported[:, None], centroid, centroid_prev)
-    has_prev = has_prev | reported
-
-    new_state = FastState(
-        alive=alive, cid=cid, corder=jnp.where(alive, corder, _BIG), mu=mu,
-        ring_count=rc, ring_sum=rs,
-        ring_head=(head + 1) % state.ring_count.shape[1],
-        centroid_prev=centroid_prev, has_prev=has_prev & alive,
-        next_cid=next_cid, next_order=next_order,
-    )
-    out = SliceOutput(alive=alive, reported=reported, cid=cid, n=n_window,
-                      centroid=centroid, flow=flow, labels=labels)
-    return new_state, out
+    return _update_slice_impl(state, x, y, valid, cfg, sensor, grid_cells, axis)

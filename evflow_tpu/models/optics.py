@@ -290,6 +290,12 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     # max_cells and max_bucket individually pass cases whose PRODUCT wraps
     if (ncells + 1) * (d + 1) * bucket >= 2**31 - 1:
         return None
+    # ... and proportional to N: a few far outliers can inflate ncells while
+    # one dense cell inflates bucket, passing both caps yet allocating a
+    # multi-GB mostly-empty table for a small input. Fall back to the dense
+    # panels instead of risking a device OOM (ADVICE r1).
+    if ncells * bucket > max(32 * n, 1 << 20):
+        return None
 
     m = (3 ** d) * bucket
     # the select path reads core_dist out of its own sorted prefix, so it

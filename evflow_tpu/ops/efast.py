@@ -104,6 +104,7 @@ def _sliding(x: jnp.ndarray, length: int, op) -> jnp.ndarray:
     (N, W) panels, no (N, W, W) materialization. out width = W - length + 1.
     """
     w = x.shape[1]
+    assert length >= 1 and length <= w, (length, w)
     p, cur = 1, x
     while 2 * p <= length:
         cur = op(cur[:, :-p], cur[:, p:])
@@ -132,6 +133,10 @@ def _streak_any(ring: jnp.ndarray, smin: int, smax: int) -> jnp.ndarray:
     (which cost ~20x the HBM traffic and dominated the whole pipeline).
     """
     n, r = ring.shape
+    # smax == r would make the off-arc window empty: _sliding(ring2, 0, max)
+    # would return raw ring values, not the vacuous empty-max — fail loudly
+    # on such a config instead of producing wrong corner masks (ADVICE r1).
+    assert 1 <= smin <= smax < r, (smin, smax, r)
     ring2 = jnp.concatenate([ring, ring], axis=1)            # (N, 2R)
     cond1 = ring >= jnp.roll(ring, 1, axis=1)                # ring[i] >= ring[i-1]
 
