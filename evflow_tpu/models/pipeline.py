@@ -88,13 +88,21 @@ class ClusterFlowPipeline:
     def init_state(self) -> fastcluster.FastState:
         return fastcluster.init_state(self.cfg.cluster)
 
-    def run(self, stream: EventStream) -> List[ClusterFlowOutput]:
+    def run(self, stream: EventStream,
+            state: Optional[fastcluster.FastState] = None
+            ) -> List[ClusterFlowOutput]:
+        """Iterate recorded slices. `state` resumes from a checkpoint
+        (utils/checkpoint.py); `self.final_state` afterwards is the state to
+        checkpoint — a stream split across a save/restore boundary produces
+        bit-identical outputs to an unbroken run (tests/test_checkpoint.py).
+        """
         cfg = self.cfg
         if cfg.slicing.mode == "n_us":
             slices = slice_by_time(stream, cfg.slicing.n_us, cfg.slicing.n_events)
         else:
             slices = slice_by_count(stream, cfg.slicing.n_events)
-        state = self.init_state()
+        if state is None:
+            state = self.init_state()
         outs = []
         mask = slices.valid_mask()
         for s in range(slices.num_slices):
@@ -102,6 +110,7 @@ class ClusterFlowPipeline:
                 state, jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
                 jnp.asarray(mask[s]), cfg)
             outs.append(jax.device_get(out))
+        self.final_state = state
         return outs
 
 
@@ -237,12 +246,20 @@ def corner_track_step(
 class CornerTrackPipeline:
     cfg: EngineConfig = DEFAULT
 
-    def run(self, stream: EventStream) -> List[CornerTrackOutput]:
+    def run(self, stream: EventStream,
+            state: Optional[CornerTrackState] = None,
+            t0: Optional[int] = None) -> List[CornerTrackOutput]:
+        """Iterate recorded slices. `state`/`t0` resume from a checkpoint (the
+        SAE carries times rebased by t0, so the original stream's t0 must ride
+        along — utils/checkpoint.py stores it as meta). `self.final_state` and
+        `self.t0` afterwards are what to checkpoint."""
         cfg = self.cfg
         slices = slice_by_count(stream, cfg.slicing.n_events)
         # rebase times so int32 SAE never wraps
-        t0 = int(stream.t[0]) if len(stream) else 0
-        state = init_corner_state(cfg)
+        if t0 is None:
+            t0 = int(stream.t[0]) if len(stream) else 0
+        if state is None:
+            state = init_corner_state(cfg)
         outs = []
         mask = slices.valid_mask()
         for s in range(slices.num_slices):
@@ -252,6 +269,8 @@ class CornerTrackPipeline:
                 jnp.asarray((slices.t[s] - t0).astype(np.int32)),
                 jnp.asarray(mask[s]), cfg)
             outs.append(jax.device_get(out))
+        self.final_state = state
+        self.t0 = t0
         return outs
 
 

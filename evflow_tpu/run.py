@@ -36,10 +36,17 @@ def cmd_cluster_flow(args):
     """App E: hash dedup → clustering → centroid flow (accel …store.cpp)."""
     from .config import DEFAULT
     from .models.pipeline import ClusterFlowPipeline
+    from .utils import checkpoint as ckpt
     from .utils.plots import render_cluster_frame
     cfg = DEFAULT
     pipe = ClusterFlowPipeline(cfg)
-    outs = pipe.run(_load(args))
+    state = None
+    if args.resume:
+        state = ckpt.restore_npz(args.resume, pipe.init_state())
+    outs = pipe.run(_load(args), state=state)
+    if args.checkpoint:
+        ckpt.save_npz(args.checkpoint, pipe.final_state)
+        print(f"checkpoint saved: {args.checkpoint}")
     for i, out in enumerate(outs):
         rep = np.asarray(out.reported)
         print(f"slice {i}: unique={int(out.unique_count)} "
@@ -98,10 +105,18 @@ def cmd_track_estimate(args):
 def cmd_corner_track(args):
     """App G: SAE → eFAST → NMS → tracker with groups."""
     from .config import DEFAULT
-    from .models.pipeline import CornerTrackPipeline
+    from .models.pipeline import CornerTrackPipeline, init_corner_state
+    from .utils import checkpoint as ckpt
     cfg = DEFAULT
     pipe = CornerTrackPipeline(cfg)
-    outs = pipe.run(_load(args))
+    state = t0 = None
+    if args.resume:
+        state = ckpt.restore_npz(args.resume, init_corner_state(cfg))
+        t0 = int(ckpt.load_meta(args.resume)["t0"])
+    outs = pipe.run(_load(args), state=state, t0=t0)
+    if args.checkpoint:
+        ckpt.save_npz(args.checkpoint, pipe.final_state, meta={"t0": pipe.t0})
+        print(f"checkpoint saved: {args.checkpoint}")
     for i, out in enumerate(outs):
         act = np.asarray(out.track_active)
         ng = int(np.asarray(out.groups.exists).sum())
@@ -252,10 +267,19 @@ def main(argv=None):
         p.add_argument("--decimate", type=int, default=extra.get("decimate", 0))
         return p
 
-    add("cluster-flow", cmd_cluster_flow)
+    def add_ckpt(p):
+        p.add_argument("--checkpoint", default="",
+                       help="save engine state (npz) after the run")
+        p.add_argument("--resume", default="",
+                       help="restore engine state (npz) before the run; a "
+                            "stream split at the boundary is bit-identical "
+                            "to an unbroken run")
+        return p
+
+    add_ckpt(add("cluster-flow", cmd_cluster_flow))
     add("async-cluster", cmd_async_cluster, decimate=256)
     add("track-estimate", cmd_track_estimate, decimate=512)
-    add("corner-track", cmd_corner_track)
+    add_ckpt(add("corner-track", cmd_corner_track))
     p = sub.add_parser("kmeans", help=cmd_kmeans.__doc__)
     p.set_defaults(fn=cmd_kmeans)
     p.add_argument("--n", type=int, default=2048)

@@ -31,6 +31,13 @@ def save_npz(path: str, tree: Any, meta: dict | None = None) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def load_meta(path: str) -> dict:
+    """The meta_* scalars stored alongside a save_npz checkpoint (e.g. the
+    stream's t0 time rebase for the corner pipeline's SAE)."""
+    with np.load(path) as z:
+        return {k[len("meta_"):]: z[k] for k in z.files if k.startswith("meta_")}
+
+
 def restore_npz(path: str, template: Any) -> Any:
     leaves, treedef = _flatten(template)
     with np.load(path) as z:
