@@ -9,8 +9,9 @@ recorded-event readers producing fixed-shape arrays: a structure-of-arrays
 Supported formats:
   - CSV `x,y,t,p` (optics-clustering/test/event_raw_data8.csv) or `x,y`
   - .npz with keys x,y,t,p
-  - raw binary little-endian int32 quads (our own compact format; Metavision
-    .raw EVT3 decoding is out of scope — record to CSV/npz instead)
+  - Metavision `.raw` EVT3 recordings (the reference's actual camera input;
+    '%'-header files dispatch to io/evt3.py — native + numpy decoders)
+  - raw binary little-endian int32 quads (our own compact format)
 """
 
 from __future__ import annotations
@@ -134,5 +135,12 @@ def load(path: str) -> EventStream:
     if ext == ".npz":
         return load_npz(path)
     if ext in (".raw", ".bin", ".evi"):
+        # Metavision recordings start with an ASCII '%' header; the repo's
+        # compact int32-quad format never does (x is a pixel coordinate)
+        with open(path, "rb") as f:
+            magic = f.read(1)
+        if magic == b"%":
+            from .evt3 import load_evt3
+            return load_evt3(path)
         return load_raw_i32(path)
     raise ValueError(f"unknown event file format: {path}")

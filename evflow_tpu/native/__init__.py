@@ -45,6 +45,7 @@ def _load():
             lib = ctypes.CDLL(_LIB)
             lib.evio_load_csv.restype = ctypes.c_int64
             lib.evio_analyze_coordinates.restype = ctypes.c_int64
+            lib.evio_decode_evt3.restype = ctypes.c_int64
             _lib = lib
         except OSError:
             _lib = None
@@ -72,6 +73,38 @@ def load_csv(path: str, capacity: int = 1 << 24):
         ctypes.c_int64(capacity))
     if n < 0:
         raise FileNotFoundError(path)
+    return xs[:n].copy(), ys[:n].copy(), ts[:n].copy(), ps[:n].copy()
+
+
+def decode_evt3(payload: bytes, capacity: int | None = None):
+    """Native EVT3 payload decode → (x, y, t, p) arrays, or None on fallback.
+
+    capacity defaults to the exact event count: single-event words plus the
+    popcount of the vector words' validity masks."""
+    lib = _load()
+    if lib is None:
+        return None
+    if len(payload) % 2:
+        payload = payload[:-1]
+    if capacity is None:
+        w = np.frombuffer(payload, dtype="<u2")
+        typ = w >> 12
+        vec = (typ == 0x4) | (typ == 0x5)
+        # exact bound: singles + set mask bits of vector words
+        capacity = int(np.sum(typ == 0x2)) + int(
+            np.sum(np.unpackbits(
+                (w[vec] & 0xFFF).astype(">u2").view(np.uint8))))
+    xs = np.empty(capacity, np.int32)
+    ys = np.empty(capacity, np.int32)
+    ts = np.empty(capacity, np.int64)
+    ps = np.empty(capacity, np.int32)
+    n = lib.evio_decode_evt3(
+        payload, ctypes.c_int64(len(payload)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(capacity))
     return xs[:n].copy(), ys[:n].copy(), ts[:n].copy(), ps[:n].copy()
 
 

@@ -71,6 +71,101 @@ int64_t evio_load_csv(const char* path, int32_t* xs, int32_t* ys, int64_t* ts,
 }
 
 // ---------------------------------------------------------------------------
+// EVT3 decoder — Prophesee's 16-bit-word event format (the reference's actual
+// camera input: Metavision Camera::from_file, …store.cpp:336). Word layout
+// per the public EVT 3.0 spec (OpenEB evt3_raw_format.h): 4-bit type in
+// bits 15:12 —
+//   0x0 EVT_ADDR_Y   bits 10:0 = y (bit 11 = master/slave, ignored)
+//   0x2 EVT_ADDR_X   bits 10:0 = x, bit 11 = polarity; emits one event
+//   0x3 VECT_BASE_X  bits 10:0 = x base, bit 11 = polarity for vectors
+//   0x4 VECT_12      bits 11:0 validity mask; emits <=12 events, base += 12
+//   0x5 VECT_8       bits  7:0 validity mask; emits <=8 events,  base += 8
+//   0x6 EVT_TIME_LOW bits 11:0 = t[11:0]
+//   0x8 EVT_TIME_HIGH bits 11:0 = t[23:12]; wrap => +2^24 epoch
+//   0x7/0xA/0xE/0xF CONTINUED_4 / EXT_TRIGGER / OTHERS / CONTINUED_12: skipped
+// `data` is the binary payload AFTER the ASCII '%' header (parsed in Python).
+// Returns events decoded (events beyond capacity are dropped).
+// ---------------------------------------------------------------------------
+int64_t evio_decode_evt3(const uint8_t* data, int64_t nbytes, int32_t* xs,
+                         int32_t* ys, int64_t* ts, int32_t* ps,
+                         int64_t capacity) {
+  const uint16_t* w = reinterpret_cast<const uint16_t*>(data);
+  int64_t nwords = nbytes / 2;
+  int64_t n = 0;
+  int32_t y = 0, vpol = 0, base_x = 0;
+  int64_t t_high = 0, t_low = 0, epoch = 0;
+  int64_t last_high = -1;
+  for (int64_t i = 0; i < nwords; i++) {
+    uint16_t v = w[i];
+    switch (v >> 12) {
+      case 0x0:
+        y = v & 0x7FF;
+        break;
+      case 0x2:
+        if (n < capacity) {
+          xs[n] = v & 0x7FF;
+          ys[n] = y;
+          ps[n] = (v >> 11) & 1;
+          ts[n] = epoch + (t_high << 12) + t_low;
+          n++;
+        }
+        break;
+      case 0x3:
+        base_x = v & 0x7FF;
+        vpol = (v >> 11) & 1;
+        break;
+      case 0x4: {
+        uint16_t mask = v & 0xFFF;
+        int64_t t = epoch + (t_high << 12) + t_low;
+        for (int b = 0; b < 12; b++) {
+          if ((mask >> b) & 1) {
+            if (n < capacity) {
+              xs[n] = base_x + b;
+              ys[n] = y;
+              ps[n] = vpol;
+              ts[n] = t;
+              n++;
+            }
+          }
+        }
+        base_x += 12;
+        break;
+      }
+      case 0x5: {
+        uint16_t mask = v & 0xFF;
+        int64_t t = epoch + (t_high << 12) + t_low;
+        for (int b = 0; b < 8; b++) {
+          if ((mask >> b) & 1) {
+            if (n < capacity) {
+              xs[n] = base_x + b;
+              ys[n] = y;
+              ps[n] = vpol;
+              ts[n] = t;
+              n++;
+            }
+          }
+        }
+        base_x += 8;
+        break;
+      }
+      case 0x6:
+        t_low = v & 0xFFF;
+        break;
+      case 0x8: {
+        int64_t th = v & 0xFFF;
+        if (last_high >= 0 && th < last_high) epoch += (int64_t)1 << 24;
+        last_high = th;
+        t_high = th;
+        break;
+      }
+      default:
+        break;  // EXT_TRIGGER / OTHERS / CONTINUED_*: no CD events
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // Ring-buffer batcher: interleaves x,y into a fixed int ring with wraparound,
 // replicating aggregate_events_fct (accel …store.cpp:587-599) for parity
 // tests of the compat path.

@@ -73,3 +73,109 @@ def test_synthetic_kmeans_ramp():
     c = synthetic.kmeans_initial_centroids()
     assert c.shape == (8, 2)
     assert c[0, 0] == 1.0 and c[7, 1] == 70.0
+
+
+# --------------------------------------------------------------------------
+# EVT3 .raw (Metavision recordings — reference …store.cpp:336 input format)
+# --------------------------------------------------------------------------
+
+def _blob_stream(n=5000, seed=7):
+    from evflow_tpu.io import synthetic
+    s = synthetic.moving_blob_stream(
+        num_slices=3, events_per_slice=n,
+        blob_centers=((200.0, 200.0), (900.0, 500.0)),
+        velocities=((30.0, 10.0), (-20.0, 15.0)), sigma=12.0)
+    return s
+
+
+def test_evt3_roundtrip_singles(tmp_path):
+    from evflow_tpu.io import evt3
+    s = _blob_stream()
+    path = str(tmp_path / "rec.raw")
+    evt3.save_evt3(s, path, vectorize=False)
+    r = evt3.load_evt3(path)
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.y, s.y)
+    np.testing.assert_array_equal(r.t, s.t)
+    np.testing.assert_array_equal(r.p, s.p)
+
+
+def test_evt3_roundtrip_vectorized(tmp_path):
+    from evflow_tpu.io import evt3
+    # events sharing (t, y, p) with ascending x exercise VECT_BASE_X/VECT_12
+    rng = np.random.default_rng(3)
+    rows = []
+    t = 1000
+    for _ in range(200):
+        y = int(rng.integers(0, 720))
+        xs = np.unique(rng.integers(0, 1280, size=rng.integers(1, 30)))
+        p = int(rng.integers(0, 2))
+        for x in xs:
+            rows.append((x, y, t, p))
+        t += int(rng.integers(0, 5000))   # crosses TIME_HIGH boundaries
+    arr = np.array(rows, np.int64)
+    s = EventStream(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+    path = str(tmp_path / "vec.raw")
+    evt3.save_evt3(s, path, vectorize=True)
+    # the file must actually contain vector words
+    with open(path, "rb") as f:
+        blob = f.read()
+    _, off = evt3.split_header(blob)
+    w = np.frombuffer(blob[off:], "<u2")
+    assert np.any((w >> 12) == 0x4)
+    r = evt3.load_evt3(path)
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.y, s.y)
+    np.testing.assert_array_equal(r.t, s.t)
+    np.testing.assert_array_equal(r.p, s.p)
+
+
+def test_evt3_native_matches_numpy(tmp_path):
+    from evflow_tpu.io import evt3
+    from evflow_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    s = _blob_stream()
+    path = str(tmp_path / "rec.raw")
+    evt3.save_evt3(s, path, vectorize=True)
+    with open(path, "rb") as f:
+        blob = f.read()
+    _, off = evt3.split_header(blob)
+    nat = native.decode_evt3(blob[off:])
+    ref = evt3.decode_evt3_numpy(blob[off:])
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_evt3_time_high_wrap():
+    from evflow_tpu.io import evt3
+    # hand-crafted payload: two events separated by a TIME_HIGH wrap
+    words = [
+        0x8000 | 0xFFF,      # TIME_HIGH = 4095
+        0x6000 | 0x001,      # TIME_LOW = 1
+        0x0000 | 100,        # y = 100
+        0x2000 | (1 << 11) | 7,   # event (7, 100, p=1)
+        0x8000 | 0x000,      # TIME_HIGH wraps to 0 -> +2^24 epoch
+        0x6000 | 0x002,
+        0x2000 | 9,          # event (9, 100, p=0)
+    ]
+    payload = np.asarray(words, "<u2").tobytes()
+    x, y, t, p = evt3.decode_evt3_numpy(payload)
+    assert t[0] == (0xFFF << 12) + 1
+    assert t[1] == (1 << 24) + 2
+    assert list(x) == [7, 9] and list(y) == [100, 100] and list(p) == [1, 0]
+    from evflow_tpu import native
+    if native.available():
+        nat = native.decode_evt3(payload)
+        np.testing.assert_array_equal(nat[2], t)
+
+
+def test_evt3_load_dispatch(tmp_path):
+    from evflow_tpu.io import evt3, load
+    s = _blob_stream(1000)
+    path = str(tmp_path / "rec.raw")
+    evt3.save_evt3(s, path)
+    r = load(path)     # '%' magic routes .raw to the EVT3 decoder
+    assert len(r) == len(s)
+    np.testing.assert_array_equal(r.x, s.x)
