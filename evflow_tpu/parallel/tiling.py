@@ -145,75 +145,86 @@ def init_tiled_corner_state(mesh: Mesh, n_tiles: int,
                             slice_idx=jnp.int32(0))
 
 
-def make_tiled_corner_step(mesh: Mesh, n_tiles: int, cfg: EngineConfig = DEFAULT):
-    axis = cfg.parallel.tile_axis
+def corner_tile_body(sl, tracks, slice_idx, xl, yl, tl, vl,
+                     axis: str, tile_w: int, cfg: EngineConfig):
+    """One tile's slice step of the corner pipeline, for use inside shard_map
+    (directly in make_tiled_corner_step, or inside the per-window lax.scan of
+    parallel/temporal.py). sl is the local (H, tile_w + 2*halo) SAE slab;
+    collectives (ppermute halos, corner all_gather, psums) ride `axis`.
+    Returns (sl, tracks, out)."""
     halo = cfg.parallel.halo
     h = cfg.sensor.height
+    my = jax.lax.axis_index(axis)
+    x0 = my * tile_w                   # global x of slab core column 0
+
+    # scatter local events into the slab core (local coords = x - x0 + halo)
+    lx = xl - x0 + halo
+    sl = sl.at[yl, lx].max(jnp.where(vl, tl, jnp.iinfo(jnp.int32).min),
+                           mode="drop")
+
+    # halo exchange: my right core edge → right neighbor's left halo, etc.
+    n = jax.lax.psum(1, axis)
+    # core columns span [halo, halo + tile_w); edges:
+    left_core = jax.lax.dynamic_slice_in_dim(sl, halo, halo, 1)
+    right_core = jax.lax.dynamic_slice_in_dim(sl, tile_w, halo, 1)
+    from_left = jax.lax.ppermute(right_core, axis,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    from_right = jax.lax.ppermute(left_core, axis,
+                                  [(i, (i - 1) % n) for i in range(n)])
+    # install halos (edge tiles receive wrapped data but their halo region
+    # is outside the eFAST border margin anyway)
+    sl = jax.lax.dynamic_update_slice_in_dim(sl, from_left, 0, 1)
+    sl = jax.lax.dynamic_update_slice_in_dim(sl, from_right, tile_w + halo, 1)
+
+    # eFAST on local events against the slab (shifted sensor frame)
+    slab_sensor = cfg.sensor.__class__(width=tile_w + 2 * halo, height=h)
+    in_core = vl & (xl >= x0) & (xl < x0 + tile_w)
+    # border margin must respect the *global* frame, not the slab frame
+    gborder = (xl >= cfg.efast.border) & (xl < cfg.sensor.width - cfg.efast.border) \
+        & (yl >= cfg.efast.border) & (yl < h - cfg.efast.border)
+    corner_mask = efast.detect_corners(
+        sl, lx, yl, in_core & gborder & (slice_idx > 0),
+        cfg.efast, slab_sensor)
+    n_local = jnp.sum(corner_mask.astype(jnp.int32))
+
+    # compact local corners (global coords) and all-gather
+    cap = cfg.nms.max_corners
+    pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
+    keep = corner_mask & (pos < cap)
+    spos = jnp.where(keep, pos, cap)
+    cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
+        jnp.where(keep, xl, 0), mode="drop")[:cap]
+    cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
+        jnp.where(keep, yl, 0), mode="drop")[:cap]
+    cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
+
+    gx = jax.lax.all_gather(cx, axis).reshape(-1)[:cap]
+    gy = jax.lax.all_gather(cy, axis).reshape(-1)[:cap]
+    gvv = jax.lax.all_gather(cvalid, axis).reshape(-1)[:cap]
+    n_corners = jax.lax.psum(n_local, axis)
+
+    filt = nms_ops.filter_corners(gx, gy, gvv, cfg.nms)
+    det_valid = jnp.arange(cap) < filt.count
+    tracks, groups = tracker_mod.update(
+        tracks, filt.x.astype(jnp.float32), filt.y.astype(jnp.float32),
+        det_valid, cfg.tracker)
+
+    out = CornerTrackOutput(
+        num_corners=n_corners, num_filtered=filt.count,
+        track_active=tracks.active, track_label=tracks.label,
+        track_pos=tracks.pos, track_vel=tracks.velocity,
+        track_group=tracks.group_id, groups=groups)
+    return sl, tracks, out
+
+
+def make_tiled_corner_step(mesh: Mesh, n_tiles: int, cfg: EngineConfig = DEFAULT):
+    axis = cfg.parallel.tile_axis
     tile_w = -(-cfg.sensor.width // n_tiles)
 
     def per_tile(slab, tracks, slice_idx, x, y, t, valid):
-        sl = slab[0]                       # (H, tile_w + 2*halo)
-        xl, yl, tl, vl = x[0], y[0], t[0], valid[0]
-        my = jax.lax.axis_index(axis)
-        x0 = my * tile_w                   # global x of slab core column 0
-
-        # scatter local events into the slab core (local coords = x - x0 + halo)
-        lx = xl - x0 + halo
-        sl = sl.at[yl, lx].max(jnp.where(vl, tl, jnp.iinfo(jnp.int32).min),
-                               mode="drop")
-
-        # halo exchange: my right core edge → right neighbor's left halo, etc.
-        n = jax.lax.psum(1, axis)
-        # core columns span [halo, halo + tile_w); edges:
-        left_core = jax.lax.dynamic_slice_in_dim(sl, halo, halo, 1)
-        right_core = jax.lax.dynamic_slice_in_dim(sl, tile_w, halo, 1)
-        from_left = jax.lax.ppermute(right_core, axis,
-                                     [(i, (i + 1) % n) for i in range(n)])
-        from_right = jax.lax.ppermute(left_core, axis,
-                                      [(i, (i - 1) % n) for i in range(n)])
-        # install halos (edge tiles receive wrapped data but their halo region
-        # is outside the eFAST border margin anyway)
-        sl = jax.lax.dynamic_update_slice_in_dim(sl, from_left, 0, 1)
-        sl = jax.lax.dynamic_update_slice_in_dim(sl, from_right, tile_w + halo, 1)
-
-        # eFAST on local events against the slab (shifted sensor frame)
-        slab_sensor = cfg.sensor.__class__(width=tile_w + 2 * halo, height=h)
-        in_core = vl & (xl >= x0) & (xl < x0 + tile_w)
-        # border margin must respect the *global* frame, not the slab frame
-        gborder = (xl >= cfg.efast.border) & (xl < cfg.sensor.width - cfg.efast.border) \
-            & (yl >= cfg.efast.border) & (yl < h - cfg.efast.border)
-        corner_mask = efast.detect_corners(
-            sl, lx, yl, in_core & gborder & (slice_idx > 0),
-            cfg.efast, slab_sensor)
-        n_local = jnp.sum(corner_mask.astype(jnp.int32))
-
-        # compact local corners (global coords) and all-gather
-        cap = cfg.nms.max_corners
-        pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
-        keep = corner_mask & (pos < cap)
-        spos = jnp.where(keep, pos, cap)
-        cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
-            jnp.where(keep, xl, 0), mode="drop")[:cap]
-        cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
-            jnp.where(keep, yl, 0), mode="drop")[:cap]
-        cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
-
-        gx = jax.lax.all_gather(cx, axis).reshape(-1)[:cap]
-        gy = jax.lax.all_gather(cy, axis).reshape(-1)[:cap]
-        gvv = jax.lax.all_gather(cvalid, axis).reshape(-1)[:cap]
-        n_corners = jax.lax.psum(n_local, axis)
-
-        filt = nms_ops.filter_corners(gx, gy, gvv, cfg.nms)
-        det_valid = jnp.arange(cap) < filt.count
-        tracks, groups = tracker_mod.update(
-            tracks, filt.x.astype(jnp.float32), filt.y.astype(jnp.float32),
-            det_valid, cfg.tracker)
-
-        out = CornerTrackOutput(
-            num_corners=n_corners, num_filtered=filt.count,
-            track_active=tracks.active, track_label=tracks.label,
-            track_pos=tracks.pos, track_vel=tracks.velocity,
-            track_group=tracks.group_id, groups=groups)
+        sl, tracks, out = corner_tile_body(
+            slab[0], tracks, slice_idx, x[0], y[0], t[0], valid[0],
+            axis, tile_w, cfg)
         return sl[None], tracks, slice_idx + 1, out
 
     tr_spec = jax.tree.map(lambda _: P(), tracker_mod.init_state(cfg.tracker))
