@@ -21,6 +21,105 @@ import time
 import numpy as np
 
 
+def _temporal_wall(n_windows, n_tiles, warmup, slices_total, total, reps=3):
+    """Time the (data × tile) temporal pipeline on the current global mesh
+    (single- OR multi-process; under jax.distributed the data axis crosses
+    processes). Returns best wall seconds over `reps` runs, compile excluded."""
+    import time
+    import jax
+    import numpy as np
+    from evflow_tpu.config import EngineConfig, SensorConfig, ClusterConfig
+    from evflow_tpu.io.events import EventStream
+    from evflow_tpu.io.slicing import slice_by_count
+    from evflow_tpu.parallel import mesh as mesh_mod, temporal
+
+    tile_w = 1280 // n_tiles
+    cfg = EngineConfig(sensor=SensorConfig(width=tile_w * n_tiles, height=720),
+                       cluster=ClusterConfig(radius=40.0, min_n=10,
+                                             max_clusters=64))
+    rng = np.random.default_rng(0)
+    n_ev = slices_total * total
+    x = rng.integers(0, cfg.sensor.width, n_ev).astype(np.int32)
+    y = rng.integers(0, 720, n_ev).astype(np.int32)
+    t = np.sort(rng.integers(1, 50_000 * slices_total, n_ev)).astype(np.int64)
+    slices = slice_by_count(EventStream(x, y, t, np.zeros(n_ev, np.int32)),
+                            total)
+    grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, cfg.parallel)
+    out = temporal.run_temporal(slices, grid, n_windows, n_tiles, warmup, cfg)
+    np.asarray(out.refined.n_obs).ravel()[:1]       # compile + drain
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = temporal.run_temporal(slices, grid, n_windows, n_tiles,
+                                    warmup, cfg)
+        np.asarray(out.refined.n_obs).ravel()[:1]
+        best = min(best, time.perf_counter() - t0)
+    return best, n_ev
+
+
+def _multiproc_worker(args):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from evflow_tpu.parallel import mesh as mesh_mod
+    mesh_mod.initialize_distributed(coordinator=f"localhost:{args.port}",
+                                    num_processes=args.nprocs,
+                                    process_id=args.worker)
+    best, n_ev = _temporal_wall(args.nprocs * 1, len(jax.devices())
+                                // args.nprocs, 2, 8, args.total)
+    if args.worker == 0:
+        print(f"processes={args.nprocs}  windows={args.nprocs}  "
+              f"{n_ev / best / 1e6:7.2f} M events/s  wall {best:6.3f}s "
+              f"(temporal pipeline, Gloo data axis)", flush=True)
+
+
+def run_multiprocess(args):
+    """Spawn 2 jax.distributed processes (4 local CPU devices each) and a
+    1-process run of the SAME global (2 windows × 4 tiles) mesh; report the
+    cross-process overhead at constant total work."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+
+    # 1-process baseline on the same (2, 4) grid
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--one-proc-grid",
+         "--total", str(args.total)], env=env, capture_output=True, text=True)
+    print(r.stdout, end="")
+    if r.returncode:
+        print(r.stderr[-2000:])
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # NOTE: redirect to files, not PIPE — worker stdout through a pipe is
+    # lost after jax.distributed teardown on this jax version
+    import tempfile
+    tdir = tempfile.mkdtemp(prefix="evflow_scaling_")
+    paths = [os.path.join(tdir, f"w{i}.log") for i in range(2)]
+    files = [open(p, "w") for p in paths]
+    procs = [subprocess.Popen(
+        [_sys.executable, os.path.abspath(__file__), "--worker", str(i),
+         "--port", str(port), "--nprocs", "2", "--total", str(args.total)],
+        env=env, stdout=files[i], stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        p.wait(timeout=900)
+    time.sleep(1.0)  # the distributed service thread can flush late
+    for i, p in enumerate(procs):
+        files[i].close()
+        with open(paths[i]) as f:
+            for line in f:
+                if "connected" not in line:
+                    print(line, end="")
+        if p.returncode:
+            print(f"proc {i} failed (rc {p.returncode})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
@@ -28,7 +127,27 @@ def main():
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--total", type=int, default=16384,
                     help="total events per slice (split across tiles)")
+    ap.add_argument("--multiprocess", action="store_true",
+                    help="also run the 2-process jax.distributed temporal row")
+    ap.add_argument("--one-proc-grid", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
+    ap.add_argument("--nprocs", type=int, default=2, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.worker is not None:
+        _multiproc_worker(args)
+        return
+    if args.one_proc_grid:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        best, n_ev = _temporal_wall(2, len(jax.devices()) // 2, 2, 8, args.total)
+        print(f"processes=1  windows=2  {n_ev / best / 1e6:7.2f} M events/s  "
+              f"wall {best:6.3f}s (temporal pipeline, single-process grid)")
+        return
+    if args.multiprocess:
+        run_multiprocess(args)
+        return
 
     if args.platform == "cpu":
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")

@@ -43,13 +43,14 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import ClusterConfig
 
-_BIG = jnp.int32(2**31 - 1)
-_INF = jnp.float32(jnp.inf)
+_BIG = np.int32(2**31 - 1)  # np, not jnp: keep import free of backend init
+_INF = np.float32(np.inf)
 
 
 class AEState(NamedTuple):

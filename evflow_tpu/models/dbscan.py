@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import DBSCANConfig
 from ..ops.distance import pairwise_sqdist
 
-_BIG = jnp.int32(2**31 - 1)
+_BIG = np.int32(2**31 - 1)  # np, not jnp: keep import free of backend init
 
 
 class DBSCANResult(NamedTuple):

@@ -45,12 +45,13 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import ClusterConfig, SensorConfig
 
-_BIG = jnp.int32(2**31 - 1)
+_BIG = np.int32(2**31 - 1)  # np, not jnp: keep import free of backend init
 
 
 class FastState(NamedTuple):

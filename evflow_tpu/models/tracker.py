@@ -30,13 +30,14 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import TrackerConfig
 
-_BIG = jnp.int32(2**31 - 1)
-_F32MAX = jnp.float32(3.0e38)
+_BIG = np.int32(2**31 - 1)  # np, not jnp: keep import free of backend init
+_F32MAX = np.float32(3.0e38)
 
 
 class TrackState(NamedTuple):

@@ -1,0 +1,549 @@
+"""Temporal (data-axis) distribution over a (data × tile) grid mesh.
+
+The reference processes one slice at a time on a single OpenCL queue
+(accel metavision_sdk_get_started5_opencl_store.cpp:277) — there is no
+counterpart for this layer; SURVEY §5 mandates designing it from scratch.
+BASELINE.json's north star: "the event stream is partitioned into
+spatio-temporal tiles across a multi-host TPU pod slice, with
+cluster-centroid updates and track-state fusion reduced via
+all-reduce/all-gather collectives (Schur-style block reduction for joint
+track refinement across tiles)".
+
+Design
+------
+The recorded stream is split into `n_windows` contiguous time windows, one
+per shard of the mesh's DATA axis (across hosts/DCN). Within each window the
+per-slice engine runs exactly as on a single host: a `lax.scan` over slices,
+each slice tile-parallel over the TILE axis (ICI) — per-tile dedup +
+`fastcluster.update_slice_distributed` (psum'd per-cluster partials) for the
+cluster path, `tiling.corner_tile_body` (ppermute SAE halos + all_gather'd
+compact corner lists) for the corner path.
+
+Sequential state across window boundaries is handled in two stages:
+
+1. **Warm-up overlap.** Every engine state has bounded temporal memory by
+   construction: the cluster membership window is a ring of R slices, the
+   EWMA mean forgets at (1-alpha) per member event (alpha=0.5 → < 1 fp32 ulp
+   after ~24 events), and the tracker keeps a 10-deep history / prunes after
+   `frames_to_skip` missed frames. Window w therefore ALSO consumes the last
+   `warmup` slices of window w-1 (outputs discarded) so its state at the
+   boundary has converged to the sequential state up to id counters.
+   (Counter-visible differences — cluster cids, track labels, frame_count
+   ages — are reconciled in stage 2 / bounded by max_frames; see
+   tests/test_temporal.py.)
+
+2. **Schur-style block reduction for joint track refinement.** Inside the
+   window scan, every track slot accumulates the normal equations of a
+   per-window trajectory model
+
+       pos(u) ≈ (1-u)·b_w + u·b_{w+1} + 4u(1-u)·m_w,   u ∈ [0,1]
+
+   over its detections: b_w, b_{w+1} are the track's positions at the window
+   BOUNDARIES (shared with the neighbor windows), m_w is a window-INTERIOR
+   curvature parameter. After the scan, each window eliminates its interior
+   m_w locally via the Schur complement
+
+       S_w = H_bb − H_bm H_mm⁻¹ H_mb,   g̃_w = g_b − H_bm H_mm⁻¹ g_m,
+
+   tracklets are stitched across boundaries (extrapolated exit position vs
+   entry position, mutual nearest neighbor), and the reduced block-tridiagonal
+   system over the chain's boundary positions is assembled with an all_gather
+   over the data axis and solved jointly (batched 2x2-block tridiagonal →
+   dense (W+1)×(W+1) solve; W is small). The result is one refined trajectory
+   per physical track spanning windows — the joint estimate no single window
+   could produce.
+
+Cluster state is fused the same way minus the solve: each window's final
+reported centroid table is matched (all_gather + mutual nearest within the
+cluster radius) against the next window's first post-warmup table, chaining
+per-window cluster ids into stream-global ids.
+
+Multi-host execution: `mesh.make_grid_mesh` over `jax.distributed`-initialized
+processes puts the data axis across hosts (DCN) and tiles across each host's
+local devices (ICI); the only cross-host traffic is the per-window summary
+all_gather (KB-scale). Validated two-process in tests/test_temporal.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import EngineConfig, DEFAULT
+from ..io.slicing import EventSlices
+from ..ops import hash_dedup
+from ..models import fastcluster, tracker as tracker_mod
+from . import tiling
+
+_BIG = np.float32(3.0e38)  # np: a module-level jnp scalar would init the backend at import, breaking jax.distributed.initialize
+
+
+# --------------------------------------------------------------------------
+# Per-window tracklet accumulators (carried through the slice scan)
+# --------------------------------------------------------------------------
+
+class TrackletBlocks(NamedTuple):
+    """Per track slot: observation summary + trajectory normal equations.
+
+    H is the Gram matrix of the basis [(1-u), u, 4u(1-u)] over the slot's
+    detections this window; g the corresponding rhs for (x, y). A slot is
+    reset whenever its track label changes (slot recycled by a new track).
+    """
+    label: jnp.ndarray      # int32 (T,) current owner's label (-1 empty)
+    nobs: jnp.ndarray       # int32 (T,)
+    u_first: jnp.ndarray    # float32 (T,)
+    u_last: jnp.ndarray     # float32 (T,)
+    pos_first: jnp.ndarray  # float32 (T, 2)
+    pos_last: jnp.ndarray   # float32 (T, 2)
+    vel_first: jnp.ndarray  # float32 (T, 2) velocity at first obs (px/slice)
+    vel_last: jnp.ndarray   # float32 (T, 2) velocity at last obs
+    H: jnp.ndarray          # float32 (T, 3, 3)
+    g: jnp.ndarray          # float32 (T, 3, 2)
+
+
+def init_blocks(max_tracks: int) -> TrackletBlocks:
+    t = max_tracks
+    z = jnp.zeros
+    return TrackletBlocks(
+        label=jnp.full((t,), -1, jnp.int32), nobs=z((t,), jnp.int32),
+        u_first=z((t,)), u_last=z((t,)),
+        pos_first=z((t, 2)), pos_last=z((t, 2)),
+        vel_first=z((t, 2)), vel_last=z((t, 2)),
+        H=z((t, 3, 3)), g=z((t, 3, 2)))
+
+
+def _blocks_update(blocks: TrackletBlocks, tracks: tracker_mod.TrackState,
+                   u: jnp.ndarray, emit: jnp.ndarray) -> TrackletBlocks:
+    """Accumulate this slice's detections (frames_since==0 ⇒ the slot's pos
+    is a matched/spawned detection) into the normal equations at time u."""
+    obs = tracks.active & (tracks.frames_since == 0) & emit
+    changed = tracks.label != blocks.label
+    nobs = jnp.where(changed, 0, blocks.nobs)
+    H = jnp.where(changed[:, None, None], 0.0, blocks.H)
+    g = jnp.where(changed[:, None, None], 0.0, blocks.g)
+
+    phi = jnp.stack([1.0 - u, u, 4.0 * u * (1.0 - u)])        # (3,)
+    Hc = phi[:, None] * phi[None, :]                          # (3, 3)
+    gc = phi[None, :, None] * tracks.pos[:, None, :]          # (T, 3, 2)
+    H = jnp.where(obs[:, None, None], H + Hc[None], H)
+    g = jnp.where(obs[:, None, None], g + gc, g)
+
+    is_first = obs & (nobs == 0)
+    return TrackletBlocks(
+        label=jnp.where(obs, tracks.label, blocks.label),
+        nobs=jnp.where(obs, nobs + 1, nobs),
+        u_first=jnp.where(is_first, u, blocks.u_first),
+        u_last=jnp.where(obs, u, blocks.u_last),
+        pos_first=jnp.where(is_first[:, None], tracks.pos, blocks.pos_first),
+        pos_last=jnp.where(obs[:, None], tracks.pos, blocks.pos_last),
+        vel_first=jnp.where(is_first[:, None], tracks.velocity, blocks.vel_first),
+        vel_last=jnp.where(obs[:, None], tracks.velocity, blocks.vel_last),
+        H=H, g=g)
+
+
+# --------------------------------------------------------------------------
+# Fusion outputs
+# --------------------------------------------------------------------------
+
+class RefinedTracks(NamedTuple):
+    """Joint cross-window track refinement. Chains are keyed by the flat id
+    (w*T + slot) of their HEAD tracklet; K = n_windows * max_tracks slots."""
+    valid: jnp.ndarray         # bool (K,)
+    n_windows: jnp.ndarray     # int32 (K,) chain length in windows
+    n_obs: jnp.ndarray         # int32 (K,) total detections in the chain
+    window_mask: jnp.ndarray   # bool (K, W) which windows the chain covers
+    boundary_pos: jnp.ndarray  # float32 (K, W+1, 2) refined positions at
+    #                            window boundaries
+    boundary_ok: jnp.ndarray   # bool (K, W+1) boundary is supported by
+    #                            observations reaching it (extrapolations
+    #                            beyond the observed span are masked out)
+
+
+class TemporalOutput(NamedTuple):
+    # per-slice streams, shape (W, S_emit, ...) — W sharded on the data axis
+    cl_reported: jnp.ndarray   # bool (W, S, C)
+    cl_cid: jnp.ndarray        # int32 (W, S, C)
+    cl_n: jnp.ndarray          # int32 (W, S, C)
+    cl_centroid: jnp.ndarray   # float32 (W, S, C, 2)
+    cl_flow: jnp.ndarray       # float32 (W, S, C, 2)
+    num_corners: jnp.ndarray   # int32 (W, S)
+    track_active: jnp.ndarray  # bool (W, S, T)
+    track_label: jnp.ndarray   # int32 (W, S, T)
+    track_pos: jnp.ndarray     # float32 (W, S, T, 2)
+    track_vel: jnp.ndarray     # float32 (W, S, T, 2)
+    # replicated fusion products
+    refined: RefinedTracks
+    cluster_chain: jnp.ndarray  # int32 (W, C) stream-global cluster chain id
+    #                             (-1 = slot not reported in that window)
+
+
+# --------------------------------------------------------------------------
+# Host-side prep: stream → (window, tile, slice, event) arrays with overlap
+# --------------------------------------------------------------------------
+
+def window_tile_events(slices: EventSlices, n_windows: int, n_tiles: int,
+                       warmup: int, cfg: EngineConfig = DEFAULT,
+                       capacity: Optional[int] = None):
+    """Split sliced events into overlapping windows × spatial tiles.
+
+    Returns (x, y, t, valid) of shape (W, n_tiles, warmup+n_emit, cap),
+    plus emit (W, warmup+n_emit) bool (False on warm-up slices) and
+    armed (W, warmup+n_emit) bool (the sequential `slice_idx > 0` corner
+    arming rule, evaluated on GLOBAL slice indices so window 0's first slice
+    behaves exactly like the sequential pipeline's).
+    """
+    s_total = slices.num_slices
+    n_emit = -(-s_total // n_windows)
+    cap = capacity or slices.slice_capacity
+    s_win = warmup + n_emit
+    w_, h_ = cfg.sensor.width, cfg.sensor.height
+
+    t0 = 0
+    if s_total and slices.count[0] > 0:
+        t0 = int(slices.t[0, 0])
+    mask = slices.valid_mask()
+
+    ox = np.zeros((n_windows, n_tiles, s_win, cap), np.int32)
+    oy = np.zeros_like(ox)
+    ot = np.zeros_like(ox)
+    ovalid = np.zeros((n_windows, n_tiles, s_win, cap), bool)
+    emit = np.zeros((n_windows, s_win), bool)
+    armed = np.zeros((n_windows, s_win), bool)
+
+    for w in range(n_windows):
+        for s in range(s_win):
+            g = w * n_emit - warmup + s
+            emit[w, s] = s >= warmup
+            armed[w, s] = g > 0
+            if g < 0 or g >= s_total:
+                continue
+            tx, ty, tt, _tp, cnt = tiling.bucket_by_tile(
+                slices.x[g], slices.y[g],
+                (slices.t[g] - t0).astype(np.int64), slices.p[g],
+                mask[g], n_tiles, w_, cap)
+            ox[w, :, s] = tx
+            oy[w, :, s] = ty
+            ot[w, :, s] = np.clip(tt, 0, np.iinfo(np.int32).max).astype(np.int32)
+            ovalid[w, :, s] = np.arange(cap)[None, :] < cnt[:, None]
+    return ox, oy, ot, ovalid, emit, armed
+
+
+# --------------------------------------------------------------------------
+# Cross-window fusion (replicated; runs after the per-window scans)
+# --------------------------------------------------------------------------
+
+def _chain_forward(next_ptr: jnp.ndarray, exists: jnp.ndarray) -> jnp.ndarray:
+    """Propagate head flat-ids forward along next pointers.
+
+    next_ptr: (W, T) int32 — slot in window w+1 that continues (w, i), or -1.
+    exists:   (W, T) bool  — tracklet present.
+    Returns chain ids (W, T) int32 (flat id of the chain's head; -1 absent).
+    """
+    w, t = next_ptr.shape
+    flat = (jnp.arange(w, dtype=jnp.int32)[:, None] * t
+            + jnp.arange(t, dtype=jnp.int32)[None, :])
+    # heads: tracklets with no incoming pointer
+    incoming = jnp.zeros((w, t), bool)
+    for i in range(w - 1):
+        nxt = next_ptr[i]
+        hit = jnp.zeros((t + 1,), bool).at[jnp.where(nxt >= 0, nxt, t)].set(
+            nxt >= 0, mode="drop")[:t]
+        incoming = incoming.at[i + 1].set(hit)
+    chain = jnp.where(exists & ~incoming, flat, -1)
+    for i in range(w - 1):
+        nxt = next_ptr[i]
+        src = chain[i]
+        ok = (nxt >= 0) & (src >= 0)
+        upd = jnp.full((t + 1,), -1, jnp.int32).at[
+            jnp.where(ok, nxt, t)].set(jnp.where(ok, src, -1), mode="drop")[:t]
+        chain = chain.at[i + 1].set(jnp.where(upd >= 0, upd, chain[i + 1]))
+    return chain
+
+
+def _stitch_ptrs(tail_pos, head_pos, tail_ok, head_ok, radius):
+    """Mutual-nearest-neighbor links: (W-1 pairs folded in caller).
+
+    tail_pos/head_pos: (T, 2); returns (T,) int32 next pointers (-1 none)."""
+    d = jnp.linalg.norm(tail_pos[:, None, :] - head_pos[None, :, :], axis=2)
+    d = jnp.where(tail_ok[:, None] & head_ok[None, :], d, _BIG)
+    j_of_i = jnp.argmin(d, axis=1).astype(jnp.int32)
+    i_of_j = jnp.argmin(d, axis=0).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    tt = tail_pos.shape[0]
+    mutual = i_of_j[j_of_i] == jnp.arange(tt, dtype=jnp.int32)
+    ok = tail_ok & mutual & (best <= radius)
+    return jnp.where(ok, j_of_i, -1)
+
+
+def fuse_tracklets(blocks: TrackletBlocks, n_emit: int,
+                   cfg: EngineConfig) -> RefinedTracks:
+    """Replicated cross-window fusion of all-gathered tracklet blocks.
+
+    blocks fields have a leading window axis (W, T, ...). See module doc:
+    stitch (mutual NN on boundary-extrapolated positions) → chain ids →
+    per-window Schur elimination of the interior curvature parameter →
+    assemble + solve the reduced boundary system per chain.
+    """
+    w, t = blocks.label.shape
+    k = w * t
+    tcfg = cfg.tracker
+    stitch_radius = 2.0 * tcfg.max_distance
+    gap = float(tcfg.frames_to_skip + 1) / n_emit
+
+    exists = blocks.nobs > 0
+    # extrapolated window-boundary positions (px/slice velocity × slack)
+    tail_b = blocks.pos_last + blocks.vel_last * (
+        (1.0 - blocks.u_last) * n_emit)[..., None]
+    head_b = blocks.pos_first - blocks.vel_first * (
+        blocks.u_first * n_emit)[..., None]
+    tail_ok = exists & (blocks.u_last >= 1.0 - gap)
+    head_ok = exists & (blocks.u_first <= gap)
+
+    ptr_rows = []
+    for i in range(w - 1):
+        ptr_rows.append(_stitch_ptrs(tail_b[i], head_b[i + 1],
+                                     tail_ok[i], head_ok[i + 1],
+                                     stitch_radius))
+    ptr_rows.append(jnp.full((t,), -1, jnp.int32))
+    next_ptr = jnp.stack(ptr_rows)
+    chain = _chain_forward(next_ptr, exists)                   # (W, T)
+
+    # --- Schur elimination of the interior parameter m_w (per tracklet)
+    lam_m = 1e-6
+    Hbb = blocks.H[..., :2, :2]                                # (W, T, 2, 2)
+    Hbm = blocks.H[..., :2, 2]                                 # (W, T, 2)
+    Hmm = blocks.H[..., 2, 2] + lam_m                          # (W, T)
+    gb = blocks.g[..., :2, :]                                  # (W, T, 2, 2)
+    gm = blocks.g[..., 2, :]                                   # (W, T, 2)
+    S = Hbb - Hbm[..., :, None] * Hbm[..., None, :] / Hmm[..., None, None]
+    gt = gb - Hbm[..., :, None] * gm[..., None, :] / Hmm[..., None, None]
+
+    # --- assemble the reduced boundary system per chain
+    # placement: window w couples boundaries (w, w+1)
+    place = np.zeros((w, 2, w + 1), np.float32)
+    for i in range(w):
+        place[i, 0, i] = 1.0
+        place[i, 1, i + 1] = 1.0
+    place = jnp.asarray(place)
+    contrib_A = jnp.einsum("wai,wtab,wbj->wtij", place, S, place)
+    contrib_b = jnp.einsum("wai,wtac->wtic", place, gt)
+
+    seg = jnp.where(exists & (chain >= 0), chain, k).reshape(-1)
+    A = jax.ops.segment_sum(contrib_A.reshape(k, w + 1, w + 1), seg,
+                            num_segments=k + 1)[:k]
+    b = jax.ops.segment_sum(contrib_b.reshape(k, w + 1, 2), seg,
+                            num_segments=k + 1)[:k]
+    win_onehot = jnp.tile(jnp.eye(w, dtype=jnp.float32)[:, None, :], (1, t, 1))
+    cover = jax.ops.segment_sum(win_onehot.reshape(k, w), seg,
+                                num_segments=k + 1)[:k] > 0    # (K, W)
+    # boundary support: does the chain's tracklet in the adjacent window
+    # actually reach the boundary? Stricter than the stitch gap (which allows
+    # a frames_to_skip coast): within 1.5 slices of the boundary.
+    sup = 1.5 / n_emit
+    near_s = win_onehot * (exists & (blocks.u_first <= sup)
+                           ).astype(jnp.float32)[..., None]
+    near_e = win_onehot * (exists & (blocks.u_last >= 1.0 - sup)
+                           ).astype(jnp.float32)[..., None]
+    cov_s = jax.ops.segment_sum(near_s.reshape(k, w), seg,
+                                num_segments=k + 1)[:k] > 0    # (K, W)
+    cov_e = jax.ops.segment_sum(near_e.reshape(k, w), seg,
+                                num_segments=k + 1)[:k] > 0
+    pad = jnp.zeros((k, 1), bool)
+    interior = jnp.concatenate([pad, cover], axis=1) \
+        & jnp.concatenate([cover, pad], axis=1)    # both neighbors covered
+    boundary_ok = (jnp.concatenate([pad, cov_e], axis=1)
+                   | jnp.concatenate([cov_s, pad], axis=1)
+                   | interior)                                 # (K, W+1)
+    n_obs = jax.ops.segment_sum(blocks.nobs.reshape(-1), seg,
+                                num_segments=k + 1)[:k]
+    length = jnp.sum(cover.astype(jnp.int32), axis=1)
+
+    A = A + 1e-6 * jnp.eye(w + 1, dtype=jnp.float32)[None]
+    sol = jnp.linalg.solve(A, b)                               # (K, W+1, 2)
+
+    # a chain is keyed at its head's flat id
+    head_here = (chain == (jnp.arange(w, dtype=jnp.int32)[:, None] * t
+                           + jnp.arange(t, dtype=jnp.int32)[None, :]))
+    valid = jnp.zeros((k,), bool).at[
+        jnp.where(head_here & exists, chain, k).reshape(-1)].set(
+        True, mode="drop")
+    return RefinedTracks(valid=valid & (length > 0), n_windows=length,
+                         n_obs=n_obs, window_mask=cover, boundary_pos=sol,
+                         boundary_ok=boundary_ok)
+
+
+def fuse_clusters(first_cent, first_ok, final_cent, final_ok,
+                  cfg: EngineConfig) -> jnp.ndarray:
+    """Chain per-window cluster slots into stream-global ids.
+
+    first_cent/final_cent: (W, C, 2) centroid at the first/last post-warmup
+    report of each slot; *_ok: (W, C) slot reported at all. Returns (W, C)
+    int32 global chain ids (-1 where not reported)."""
+    w, c = first_ok.shape
+    radius = cfg.cluster.radius
+    ptr_rows = []
+    for i in range(w - 1):
+        ptr_rows.append(_stitch_ptrs(final_cent[i], first_cent[i + 1],
+                                     final_ok[i], first_ok[i + 1], radius))
+    ptr_rows.append(jnp.full((c,), -1, jnp.int32))
+    return _chain_forward(jnp.stack(ptr_rows), final_ok | first_ok)
+
+
+# --------------------------------------------------------------------------
+# The (data × tile) temporal pipeline step
+# --------------------------------------------------------------------------
+
+def make_temporal_pipeline(mesh: Mesh, n_windows: int, n_tiles: int,
+                           n_emit: int, warmup: int,
+                           cfg: EngineConfig = DEFAULT):
+    """Build the jitted shard_map over the (data, tile) grid mesh.
+
+    Inputs (all leading dims (n_windows, n_tiles) sharded (data, tile)):
+      x, y, t: int32 (W, n_tiles, S, cap); valid: bool likewise;
+      emit, armed: bool (W, S) sharded (data,).
+    Returns a TemporalOutput (per-slice streams data-sharded, fusion
+    products replicated).
+    """
+    data_ax = cfg.parallel.data_axis
+    tile_ax = cfg.parallel.tile_axis
+    tile_w = -(-cfg.sensor.width // n_tiles)
+    ccap = cfg.cluster.max_clusters
+    tcap = cfg.tracker.max_tracks
+
+    def per_shard(x, y, t, valid, emit, armed):
+        xl, yl, tl, vl = x[0, 0], y[0, 0], t[0, 0], valid[0, 0]   # (S, cap)
+        em, ar = emit[0], armed[0]                                # (S,)
+
+        halo = cfg.parallel.halo
+        h = cfg.sensor.height
+        cl0 = fastcluster.init_state(cfg.cluster)
+        slab0 = jnp.zeros((h, tile_w + 2 * halo), jnp.int32)
+        tr0 = tracker_mod.init_state(cfg.tracker)
+        bl0 = init_blocks(tcap)
+        fc0 = (jnp.zeros((ccap, 2)), jnp.zeros((ccap,), bool))    # first table
+
+        def step(carry, ev):
+            cl, slab, tracks, blocks, n_em, first_cent, first_ok = carry
+            ex, ey, et, ev_valid, e_em, e_ar = ev
+
+            # cluster path: per-tile dedup → distributed slice update
+            ded = hash_dedup.dedup_mask(ex, ey, ev_valid, cfg.dedup, cfg.sensor)
+            cl, cl_out = fastcluster.update_slice_distributed(
+                cl, ex, ey, ded.unique_mask, tile_ax, cfg.cluster, cfg.sensor)
+
+            # corner path: SAE slab + halos → eFAST → NMS → tracker
+            slab, tracks, co_out = tiling.corner_tile_body(
+                slab, tracks, jnp.where(e_ar, 1, 0), ex, ey, et, ev_valid,
+                tile_ax, tile_w, cfg)
+
+            n_em = n_em + jnp.where(e_em, 1, 0)
+            u = n_em.astype(jnp.float32) / n_emit
+            blocks = _blocks_update(blocks, tracks, u, e_em)
+
+            new_first = e_em & cl_out.reported & ~first_ok
+            first_cent = jnp.where(new_first[:, None], cl_out.centroid,
+                                   first_cent)
+            first_ok = first_ok | new_first
+
+            ys = (cl_out.reported & e_em, cl_out.cid, cl_out.n,
+                  cl_out.centroid, cl_out.flow, co_out.num_corners,
+                  co_out.track_active & e_em, co_out.track_label,
+                  co_out.track_pos, co_out.track_vel,
+                  cl_out.reported & e_em, cl_out.centroid)
+            return (cl, slab, tracks, blocks, n_em, first_cent, first_ok), ys
+
+        carry0 = (cl0, slab0, tr0, bl0, jnp.int32(0), *fc0)
+        carry, ys = jax.lax.scan(step, carry0,
+                                 (xl, yl, tl, vl, em, ar))
+        (cl, _slab, _tracks, blocks, _n, first_cent, first_ok) = carry
+        (rep, cid, nmem, cent, flow, ncor, tact, tlab, tpos, tvel,
+         rep_last_seq, cent_seq) = ys
+
+        # final post-warmup cluster table = values at the LAST emitted slice
+        final_cent = cent_seq[-1]
+        final_ok = rep_last_seq[-1]
+
+        # ---- fusion: all_gather per-window summaries over the data axis
+        g_blocks = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, data_ax), blocks)
+        refined = fuse_tracklets(g_blocks, n_emit, cfg)
+        g_first_cent = jax.lax.all_gather(first_cent, data_ax)
+        g_first_ok = jax.lax.all_gather(first_ok, data_ax)
+        g_final_cent = jax.lax.all_gather(final_cent, data_ax)
+        g_final_ok = jax.lax.all_gather(final_ok, data_ax)
+        cluster_chain = fuse_clusters(g_first_cent, g_first_ok,
+                                      g_final_cent, g_final_ok, cfg)
+
+        s_emit = slice(warmup, None)
+        out = TemporalOutput(
+            cl_reported=rep[s_emit][None], cl_cid=cid[s_emit][None],
+            cl_n=nmem[s_emit][None], cl_centroid=cent[s_emit][None],
+            cl_flow=flow[s_emit][None], num_corners=ncor[s_emit][None],
+            track_active=tact[s_emit][None], track_label=tlab[s_emit][None],
+            track_pos=tpos[s_emit][None], track_vel=tvel[s_emit][None],
+            refined=refined, cluster_chain=cluster_chain)
+        return out
+
+    ev_spec = P(cfg.parallel.data_axis, cfg.parallel.tile_axis)
+    win_spec = P(cfg.parallel.data_axis)
+    out_spec = TemporalOutput(
+        cl_reported=win_spec, cl_cid=win_spec, cl_n=win_spec,
+        cl_centroid=win_spec, cl_flow=win_spec, num_corners=win_spec,
+        track_active=win_spec, track_label=win_spec, track_pos=win_spec,
+        track_vel=win_spec,
+        refined=RefinedTracks(valid=P(), n_windows=P(), n_obs=P(),
+                              window_mask=P(), boundary_pos=P(),
+                              boundary_ok=P()),
+        cluster_chain=P())
+    smapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec, win_spec, win_spec),
+        out_specs=out_spec,
+        check_vma=False)
+    return jax.jit(smapped)
+
+
+# --------------------------------------------------------------------------
+# Host driver
+# --------------------------------------------------------------------------
+
+def run_temporal(slices: EventSlices, mesh: Mesh, n_windows: int,
+                 n_tiles: int, warmup: int = 8,
+                 cfg: EngineConfig = DEFAULT,
+                 capacity: Optional[int] = None) -> TemporalOutput:
+    """Window + tile the sliced stream, place shards on the grid mesh, run.
+
+    Under `jax.distributed` each process feeds only its local windows
+    (jax.make_array_from_process_local_data); single-process, device_put with
+    the grid sharding suffices.
+    """
+    x, y, t, valid, emit, armed = window_tile_events(
+        slices, n_windows, n_tiles, warmup, cfg, capacity)
+    n_emit = x.shape[2] - warmup
+    step = make_temporal_pipeline(mesh, n_windows, n_tiles, n_emit, warmup, cfg)
+
+    ev_sh = NamedSharding(mesh, P(cfg.parallel.data_axis,
+                                  cfg.parallel.tile_axis))
+    win_sh = NamedSharding(mesh, P(cfg.parallel.data_axis))
+    if jax.process_count() > 1:
+        put_ev = functools.partial(jax.make_array_from_process_local_data, ev_sh)
+        put_win = functools.partial(jax.make_array_from_process_local_data, win_sh)
+        # each process holds the full host arrays; slice out its shard rows
+        didx = sorted({mesh.devices.flat[i].process_index
+                       for i in range(mesh.devices.size)})
+        nw_local = n_windows // jax.process_count()
+        w0 = didx.index(jax.process_index()) * nw_local
+        sel = slice(w0, w0 + nw_local)
+        args = (put_ev(x[sel]), put_ev(y[sel]), put_ev(t[sel]),
+                put_ev(valid[sel]), put_win(emit[sel]), put_win(armed[sel]))
+    else:
+        args = (jax.device_put(x, ev_sh), jax.device_put(y, ev_sh),
+                jax.device_put(t, ev_sh), jax.device_put(valid, ev_sh),
+                jax.device_put(emit, win_sh), jax.device_put(armed, win_sh))
+    return step(*args)

@@ -198,9 +198,23 @@ def corner_tile_body(sl, tracks, slice_idx, xl, yl, tl, vl,
         jnp.where(keep, yl, 0), mode="drop")[:cap]
     cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
 
-    gx = jax.lax.all_gather(cx, axis).reshape(-1)[:cap]
-    gy = jax.lax.all_gather(cy, axis).reshape(-1)[:cap]
-    gvv = jax.lax.all_gather(cvalid, axis).reshape(-1)[:cap]
+    # gather every tile's compact list and re-compact valid entries to the
+    # front in tile-major order (a plain [:cap] truncation of the gathered
+    # (n_tiles, cap) block would keep ONLY tile 0's corners). Candidate order
+    # is tile-major here vs global stream order on a single device — the NMS
+    # outcome can differ only for candidate pairs within box_size of each
+    # other that straddle a tile boundary (documented deviation).
+    fx = jax.lax.all_gather(cx, axis).reshape(-1)
+    fy = jax.lax.all_gather(cy, axis).reshape(-1)
+    fv = jax.lax.all_gather(cvalid, axis).reshape(-1)
+    gpos = jnp.cumsum(fv.astype(jnp.int32)) - 1
+    gspos = jnp.where(fv & (gpos < cap), gpos, cap)
+    gx = jnp.zeros((cap + 1,), jnp.int32).at[gspos].set(
+        jnp.where(fv, fx, 0), mode="drop")[:cap]
+    gy = jnp.zeros((cap + 1,), jnp.int32).at[gspos].set(
+        jnp.where(fv, fy, 0), mode="drop")[:cap]
+    n_kept = jnp.sum(fv.astype(jnp.int32))
+    gvv = jnp.arange(cap) < jnp.minimum(n_kept, cap)
     n_corners = jax.lax.psum(n_local, axis)
 
     filt = nms_ops.filter_corners(gx, gy, gvv, cfg.nms)

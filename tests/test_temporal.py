@@ -1,0 +1,227 @@
+"""Temporal (data-axis) distribution tests — the multi-host/temporal half of
+the distribution layer (parallel/temporal.py).
+
+Run in subprocesses: (a) an 8-virtual-device CPU (2 windows × 4 tiles) grid
+mesh, (b) a REAL two-process `jax.distributed` bring-up (Gloo collectives
+across processes, 4 local devices each) exercising
+`mesh.initialize_distributed` + DCN-style data-axis collectives.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCENE = """
+import numpy as np
+from evflow_tpu.config import (EngineConfig, SensorConfig, SliceConfig,
+                               ClusterConfig, TrackerConfig, NMSConfig,
+                               DedupConfig)
+from evflow_tpu.io.events import EventStream
+
+CFG = EngineConfig(
+    sensor=SensorConfig(width=256, height=128),
+    slicing=SliceConfig(n_events=2048),
+    dedup=DedupConfig(exact=True),
+    cluster=ClusterConfig(max_clusters=16, radius=15.0, min_n=3),
+    tracker=TrackerConfig(max_tracks=32, history=6, frames_to_skip=3,
+                          max_frames=60, group_radius=60.0),
+    nms=NMSConfig(max_corners=64),
+)
+
+def scene(num_slices=12, n=2048, seed=0):
+    '''A 90-degree wedge apex moving right at 6 px/slice (persistent eFAST
+    corner) + a separate gaussian blob moving down (cluster+flow target).'''
+    rng = np.random.default_rng(seed)
+    xs, ys, ts = [], [], []
+    cx, cy = 50, 50
+    bx, by = 200.0, 30.0
+    apex, blob = [], []
+    for s in range(num_slices):
+        x1 = rng.integers(max(0, cx - 40), cx + 1, n // 2).astype(np.int32)
+        y1 = rng.integers(max(0, cy - 40), cy + 1, n // 2).astype(np.int32)
+        x2 = np.clip(rng.normal(bx, 3.0, n // 2), 0, 255).astype(np.int32)
+        y2 = np.clip(rng.normal(by, 3.0, n // 2), 0, 127).astype(np.int32)
+        x = np.concatenate([x1, x2]); y = np.concatenate([y1, y2])
+        t = (1000 * (s + 1) + np.sort(rng.integers(0, 900, n))).astype(np.int64)
+        xs.append(x); ys.append(y); ts.append(t)
+        apex.append((cx, cy)); blob.append((bx, by))
+        cx += 6; by += 3.0
+    return (EventStream(np.concatenate(xs), np.concatenate(ys),
+                        np.concatenate(ts),
+                        np.zeros(num_slices * n, np.int32)),
+            apex, blob)
+"""
+
+
+def _run_cpu8(code: str, timeout=600):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    prelude = "import jax; jax.config.update('jax_platforms','cpu')\n"
+    return subprocess.run([sys.executable, "-c", prelude + _SCENE + code],
+                          cwd=REPO, env=env, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+@pytest.mark.slow
+def test_temporal_grid_matches_sequential():
+    """(2 windows × 4 tiles) grid vs the sequential single-device pipelines:
+    post-warmup cluster centroids must match set-wise (exact dedup makes the
+    per-tile dedup identical to global), the corner tracklets must stitch
+    into one cross-window chain whose refined boundary positions track the
+    wedge apex, and the blob's cluster chain must span both windows."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from evflow_tpu.io.slicing import slice_by_count
+from evflow_tpu.models import pipeline, fastcluster
+from evflow_tpu.parallel import mesh as mesh_mod, temporal
+
+stream, apex, blob = scene()
+slices = slice_by_count(stream, CFG.slicing.n_events)
+n_windows, n_tiles, warmup = 2, 4, 4
+n_emit = slices.num_slices // n_windows
+
+grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, CFG.parallel)
+out = jax.device_get(temporal.run_temporal(
+    slices, grid, n_windows, n_tiles, warmup, CFG))
+
+# ---- sequential cluster reference on the SAME tile-major event order (the
+# distributed update equals update_slice on the tile-major concatenation;
+# stream-order EWMA/merge differences are covered by test_parallel)
+from evflow_tpu.ops import hash_dedup
+import jax.numpy as jnp
+tx, ty, tt, tvalid, emit, armed = temporal.window_tile_events(
+    slices, n_windows, n_tiles, warmup, CFG)
+st = fastcluster.init_state(CFG.cluster)
+seq_cl = []
+for w in range(n_windows):
+    for s in range(warmup, warmup + n_emit):
+        xx = jnp.asarray(tx[w, :, s].reshape(-1))
+        yy = jnp.asarray(ty[w, :, s].reshape(-1))
+        vv = jnp.asarray(tvalid[w, :, s].reshape(-1))
+        ded = hash_dedup.dedup_mask(xx, yy, vv, CFG.dedup, CFG.sensor)
+        st, o = fastcluster.update_slice(st, xx, yy, ded.unique_mask,
+                                         CFG.cluster, CFG.sensor)
+        seq_cl.append(jax.device_get(o))
+
+# 1. the well-separated blob's cluster: temporal matches sequential per slice
+# (post-warmup, window state converged); the wedge's uniform-paint region is
+# excluded — its merge cascade is chaotically sensitive to fp order
+for w in range(n_windows):
+    for s in range(n_emit):
+        g = w * n_emit + s
+        gt = np.asarray(blob[g])
+        def nearest(rep, cent, n):
+            d = np.linalg.norm(np.asarray(cent) - gt, axis=1)
+            d[~np.asarray(rep)] = 1e9
+            i = int(np.argmin(d))
+            return np.asarray(cent)[i], int(np.asarray(n)[i]), d[i]
+        tc, tn, td = nearest(out.cl_reported[w, s], out.cl_centroid[w, s],
+                             out.cl_n[w, s])
+        sc, sn, sd = nearest(seq_cl[g].reported, seq_cl[g].centroid,
+                             seq_cl[g].n)
+        assert td < 8 and sd < 8, (g, td, sd)
+        assert np.linalg.norm(tc - sc) < 1.5, (g, tc, sc)
+        # membership rides a 4-slice ring: while warmup slices are still in
+        # the ring, sub-radius merge tie-breaks can shift counts — compare
+        # strictly only once the ring is fully post-warmup
+        tol = max(3, (0.1 if (w == 0 or s >= 4) else 0.25) * sn)
+        assert abs(tn - sn) <= tol, (g, tn, sn)
+
+# 2. chains span both windows and their refined boundary displacements
+# recover the true motions: the wedge square's corners move (+6, 0) px/slice
+# and the blob's edge corners (0, +3) px/slice
+r = out.refined
+span = (np.asarray(r.valid) & (np.asarray(r.n_windows) == 2)
+        & np.asarray(r.boundary_ok)[:, 1] & np.asarray(r.boundary_ok)[:, 2])
+assert span.any(), np.asarray(r.n_windows)[np.asarray(r.valid)]
+disp = (np.asarray(r.boundary_pos)[:, 2] - np.asarray(r.boundary_pos)[:, 1])
+wedge_gt = np.array([6.0 * n_emit, 0.0])
+blob_gt = np.array([0.0, 3.0 * n_emit])
+d_wedge = np.linalg.norm(disp - wedge_gt, axis=1)
+d_blob = np.linalg.norm(disp - blob_gt, axis=1)
+assert (span & (d_wedge < 12.0)).any(), disp[span]
+assert (span & (d_blob < 12.0)).any(), disp[span]
+
+# 3. the blob's cluster chain spans the boundary: find window-0 slot nearest
+# the blob at window 0's last slice, check it chains into window 1
+chain = np.asarray(out.cluster_chain)
+cent0 = out.cl_centroid[0, -1]; rep0 = out.cl_reported[0, -1]
+d0 = np.linalg.norm(cent0 - np.asarray(blob[n_emit - 1]), axis=1)
+d0[~rep0] = 1e9
+slot0 = int(np.argmin(d0))
+cid = chain[0, slot0]
+assert cid >= 0 and (chain[1] == cid).any(), (cid, chain)
+print('temporal equivalence ok')
+"""
+    r = _run_cpu8(code)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "temporal equivalence ok" in r.stdout
+
+
+_TWO_PROC_WORKER = """
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+pid = int(sys.argv[1]); port = sys.argv[2]
+from evflow_tpu.parallel import mesh as mesh_mod
+mesh_mod.initialize_distributed(coordinator=f'localhost:{port}',
+                                num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+import numpy as np
+from evflow_tpu.io.slicing import slice_by_count
+from evflow_tpu.parallel import temporal
+
+stream, apex, blob = scene()
+slices = slice_by_count(stream, CFG.slicing.n_events)
+n_windows, n_tiles, warmup = 2, 4, 4
+grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, CFG.parallel)
+out = temporal.run_temporal(slices, grid, n_windows, n_tiles, warmup, CFG)
+# fusion products are replicated → fully addressable on every process
+r = jax.device_get(out.refined)
+n_emit = slices.num_slices // n_windows
+span = (np.asarray(r.valid) & (np.asarray(r.n_windows) == 2)
+        & np.asarray(r.boundary_ok)[:, 1] & np.asarray(r.boundary_ok)[:, 2])
+assert span.any()
+disp = (np.asarray(r.boundary_pos)[:, 2] - np.asarray(r.boundary_pos)[:, 1])
+d_wedge = np.linalg.norm(disp - np.array([6.0 * n_emit, 0.0]), axis=1)
+assert (span & (d_wedge < 12.0)).any(), disp[span]
+k = int(np.where(span & (d_wedge < 12.0))[0][0])
+print(f'proc {pid}: two-process temporal ok, chain {k} disp '
+      f'{disp[k].round(1)}', flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_temporal_two_process_distributed():
+    """Real multi-process bring-up: 2 × (4 local CPU devices) via
+    jax.distributed/Gloo, data axis across processes."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    src = _SCENE + _TWO_PROC_WORKER
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", src, str(i), str(port)], cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"proc {i}: {err[-4000:]}"
+        assert f"proc {i}: two-process temporal ok" in out, out
