@@ -126,6 +126,15 @@ class EFastConfig:
     streak3_max: int = 6
     streak4_min: int = 4
     streak4_max: int = 8
+    # Candidate cap for the slice-sync detector: detection runs once per
+    # touched PIXEL (newest event), compacted to this many lanes — duplicate
+    # per-event detections at the same pixel are NMS-suppressed at distance 0
+    # anyway, so the post-NMS corner set is unchanged whenever the slice
+    # touches <= max_candidates unique pixels (beyond that, later pixels are
+    # dropped in stream order). 0 disables (detect on every event, the
+    # reference's literal per-event volume). 8192 mirrors the reference's
+    # own MAX_HASH_SIZE dedup scale (coordinate_processor.cl:30).
+    max_candidates: int = 8192
     # The built target indexes .at(y+c[i][0], x+c[i][1]) (group_track.cpp:968),
     # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
     group_track_axis_order: bool = True

@@ -195,27 +195,11 @@ def init_corner_state(cfg: EngineConfig = DEFAULT) -> CornerTrackState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def corner_track_step(
-    state: CornerTrackState,
-    x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
-    cfg: EngineConfig = DEFAULT,
-) -> Tuple[CornerTrackState, CornerTrackOutput]:
-    """One 16384-event slice of the corner pipeline.
-
-    Reference order (group_track.cpp:884-1070): per event, update SAE then run
-    eFAST against the *current* surface. Slice-vectorized approximation:
-    scatter the whole slice into the SAE first, then detect on all slice
-    events (each event sees the full slice's surface instead of the prefix —
-    strictly more context; detection still keyed to this slice's events).
-    Detection is skipped for the first slice (time_surface_flag, :926).
-    """
-    new_sae = sae_ops.update_sae(state.sae, x, y, t, valid)
-    corner_mask = efast.detect_corners(new_sae, x, y, valid, cfg.efast, cfg.sensor)
-    corner_mask = corner_mask & (state.slice_idx > 0)
+def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
+                       cfg: EngineConfig):
+    """Shared tail of the corner pipeline: compact the detected corners in
+    stream order to the NMS capacity, suppress, and advance the tracker."""
     n_corners = jnp.sum(corner_mask.astype(jnp.int32))
-
-    # compact candidates (stream order) to the NMS capacity
     cap = cfg.nms.max_corners
     pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
     keep = corner_mask & (pos < cap)
@@ -240,6 +224,104 @@ def corner_track_step(
         track_group=tracks.group_id, groups=groups)
     return CornerTrackState(sae=new_sae, tracks=tracks,
                             slice_idx=state.slice_idx + 1), out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def corner_track_step(
+    state: CornerTrackState,
+    x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+    cfg: EngineConfig = DEFAULT,
+) -> Tuple[CornerTrackState, CornerTrackOutput]:
+    """One 16384-event slice of the corner pipeline.
+
+    Reference order (group_track.cpp:884-1070): per event, update SAE then run
+    eFAST against the *current* surface. Slice-vectorized approximation:
+    scatter the whole slice into the SAE first, then detect on all slice
+    events (each event sees the full slice's surface instead of the prefix —
+    strictly more context; detection still keyed to this slice's events).
+    Detection is skipped for the first slice (time_surface_flag, :926).
+    The approximation is quantified against the per-event-exact mode in
+    tests/test_event_exact.py (corner_track_step_event_exact below).
+
+    Candidate reduction (cfg.efast.max_candidates): the slice-sync surface
+    gives every event of a pixel the same detection result, so eFAST runs
+    once per touched pixel — the pixel's NEWEST event (sae[y,x] == t after
+    the scatter-max) represents it, compacted to a fixed lane count. The
+    post-NMS corner set is unchanged (same-pixel duplicates lose to their
+    first copy at distance 0); only the candidate ORDER can shift for
+    distinct corner pixels within one NMS box (newest- vs first-occurrence
+    stream position), and overflow beyond the cap drops candidates in
+    stream order.
+    """
+    new_sae = sae_ops.update_sae(state.sae, x, y, t, valid)
+    m = cfg.efast.max_candidates
+    if m and m < x.shape[0]:
+        rep = valid & (new_sae[y, x] == t)       # newest event per pixel
+        pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+        keep = rep & (pos < m)
+        spos = jnp.where(keep, pos, m)
+        cx = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
+            jnp.where(keep, x, 0), mode="drop")[:m]
+        cy = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
+            jnp.where(keep, y, 0), mode="drop")[:m]
+        cvalid = jnp.arange(m) < jnp.minimum(jnp.sum(rep.astype(jnp.int32)), m)
+        corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
+                                           cfg.efast, cfg.sensor)
+        corner_mask = corner_mask & (state.slice_idx > 0)
+        return _corners_to_tracks(corner_mask, cx, cy, state, new_sae, cfg)
+    corner_mask = efast.detect_corners(new_sae, x, y, valid, cfg.efast, cfg.sensor)
+    corner_mask = corner_mask & (state.slice_idx > 0)
+    return _corners_to_tracks(corner_mask, x, y, state, new_sae, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def corner_track_step_event_exact(
+    state: CornerTrackState,
+    x: jnp.ndarray, y: jnp.ndarray, t: jnp.ndarray, valid: jnp.ndarray,
+    cfg: EngineConfig = DEFAULT,
+) -> Tuple[CornerTrackState, CornerTrackOutput]:
+    """Per-event-EXACT corner path — the reference's true semantics
+    (group_track.cpp:884-1070): for each event in stream order, write
+    `sae.at(y, x) = t`, THEN run eFAST at (x, y) against the evolving
+    surface. A lax.scan over events (same pattern as the exact AEClustering
+    engine); latency-bound on TPU, intended for validation — the slice-sync
+    step above is the throughput path.
+    """
+    new_sae, corner_mask = event_exact_corner_mask(
+        state.sae, x, y, t, valid, state.slice_idx > 0, cfg)
+    return _corners_to_tracks(corner_mask, x, y, state, new_sae, cfg)
+
+
+def event_exact_corner_mask(sae, x, y, t, valid, armed,
+                            cfg: EngineConfig = DEFAULT):
+    """The event-exact detector core: scan events in stream order, write
+    each into the SAE, detect at its pixel against the evolving surface.
+    Returns (new_sae, (N,) corner mask)."""
+    h, w = sae.shape
+    cs = cfg.efast.border
+    c3 = np.concatenate([efast.CIRCLE3, efast.CIRCLE4])
+    dy = c3[:, 0].copy()
+    dx = c3[:, 1].copy()
+    if not cfg.efast.group_track_axis_order:
+        dy, dx = dx, dy
+    rows = jnp.asarray(dy + 4)
+    cols = jnp.asarray(dx + 4)
+    n3 = len(efast.CIRCLE3)
+
+    def ev_step(sae, ev):
+        xi, yi, ti, vi = ev
+        # masked write: invalid events scatter out of bounds and are dropped
+        sae = sae.at[jnp.where(vi, yi, h), xi].set(ti, mode="drop")
+        in_b = vi & armed & (xi >= cs) & (xi < w - cs) & (yi >= cs) & (yi < h - cs)
+        patch = jax.lax.dynamic_slice(sae, (yi - 4, xi - 4), (9, 9))
+        ring = patch[rows, cols][None]                  # (1, 36)
+        f3 = efast._streak_any(ring[:, :n3], cfg.efast.streak3_min,
+                               cfg.efast.streak3_max)
+        f4 = efast._streak_any(ring[:, n3:], cfg.efast.streak4_min,
+                               cfg.efast.streak4_max)
+        return sae, (in_b & f3[0] & f4[0])
+
+    return jax.lax.scan(ev_step, sae, (x, y, t, valid))
 
 
 @dataclasses.dataclass

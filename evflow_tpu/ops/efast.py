@@ -97,6 +97,50 @@ def _gather_ring(sae: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return _gather_rings(sae, x, y, circle, axis_order_yx)
 
 
+def _gather_rings_block(sae: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                        circles: np.ndarray, axis_order_yx: bool) -> jnp.ndarray:
+    """(N, R) ring gather via an 8x8-BLOCK SAE layout.
+
+    The 9x9 ring patch is covered by a 2x2 square of aligned 8x8 blocks —
+    4 gathers of 64-wide rows per event instead of the row-segment scheme's
+    18 gathers of 8 (the TPU gather unit is descriptor-rate-bound here:
+    measured 2.06 vs 2.71 ms per 16384-event slice on blob-distributed
+    coords, benchmarks/prof_gather2.py). The (16, 16) reassembled patch is
+    reduced to ring values by a row-phase select (y mod 8) then a col-phase
+    select (x mod 8)."""
+    dy = circles[:, 0].copy()
+    dx = circles[:, 1].copy()
+    if not axis_order_yx:
+        dy, dx = dx, dy
+    h, w = sae.shape
+    if w % _SEG or h % _SEG:
+        sae = jnp.pad(sae, ((0, (-h) % _SEG), (0, (-w) % _SEG)))
+        h, w = sae.shape
+    nbx = w // _SEG
+    blk = sae.reshape(h // _SEG, _SEG, nbx, _SEG).transpose(0, 2, 1, 3) \
+        .reshape(-1, _SEG * _SEG)
+    bx = jnp.clip((x - 4) >> 3, 0, nbx - 2)
+    by = jnp.clip((y - 4) >> 3, 0, h // _SEG - 2)
+    idx = ((by[:, None] + jnp.asarray([0, 1])[None, :]) * nbx)[:, :, None] \
+        + (bx[:, None] + jnp.asarray([0, 1])[None, :])[:, None, :]
+    blocks = jnp.take(blk, idx.reshape(-1, 4), axis=0, mode="clip")  # (N,4,64)
+    patch = blocks.reshape(-1, 2, 2, _SEG, _SEG).transpose(0, 1, 3, 2, 4) \
+        .reshape(-1, 2 * _SEG, 2 * _SEG)                             # (N,16,16)
+    yp = (y - 4) - (by << 3)      # 0..7 (clip keeps border events in range)
+    xp = (x - 4) - (bx << 3)
+    n = x.shape[0]
+    rp = jnp.zeros((n, 9, 2 * _SEG), sae.dtype)
+    for p in range(_SEG):
+        rp = jnp.where((yp == p)[:, None, None], patch[:, p:p + 9, :], rp)
+    rows = jnp.asarray(dy + 4, jnp.int32)
+    cols = dx + 4
+    out = jnp.zeros((n, circles.shape[0]), sae.dtype)
+    for p in range(_SEG):
+        sel = rp[:, rows, jnp.asarray(cols + p, jnp.int32)]
+        out = jnp.where((xp == p)[:, None], sel, out)
+    return out
+
+
 def _sliding(x: jnp.ndarray, length: int, op) -> jnp.ndarray:
     """Sliding-window reduction along axis 1: out[i] = op(x[i..i+length-1]).
 
@@ -168,8 +212,8 @@ def detect_corners(
     in_bounds = (x >= cs) & (x < sensor.width - cs) & (y >= cs) & (y < sensor.height - cs)
     cand = valid & in_bounds
 
-    rings = _gather_rings(sae, x, y, np.concatenate([CIRCLE3, CIRCLE4]),
-                          cfg.group_track_axis_order)
+    rings = _gather_rings_block(sae, x, y, np.concatenate([CIRCLE3, CIRCLE4]),
+                                cfg.group_track_axis_order)
     found3 = _streak_any(rings[:, :len(CIRCLE3)], cfg.streak3_min, cfg.streak3_max)
     found4 = _streak_any(rings[:, len(CIRCLE3):], cfg.streak4_min, cfg.streak4_max)
     return cand & found3 & found4

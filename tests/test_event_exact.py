@@ -1,0 +1,164 @@
+"""Per-event-exact corner mode (VERDICT r1 item 2).
+
+The reference detects corners per event against the EVOLVING SAE
+(group_track.cpp:884-1070: update at(y,x)=t, then isFeature, event by event).
+`pipeline.corner_track_step_event_exact` reproduces that order exactly;
+these tests (a) verify it bit-for-bit against a per-event oracle chain and
+(b) QUANTIFY the slice-synchronous approximation of the throughput path
+against the reference-semantics trajectories.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from evflow_tpu.config import (EngineConfig, SensorConfig, SliceConfig,
+                               TrackerConfig, NMSConfig)
+from evflow_tpu.models import pipeline
+from evflow_tpu.models.tracker_oracle import CornerTrackerOracle
+from evflow_tpu.ops.efast import detect_corners_reference_numpy
+from evflow_tpu.ops.nms import filter_corners_reference_numpy
+from evflow_tpu.utils import metrics
+
+W = H = 128
+CFG = EngineConfig(
+    sensor=SensorConfig(width=W, height=H),
+    slicing=SliceConfig(n_events=1024),
+    tracker=TrackerConfig(max_tracks=32, history=6, frames_to_skip=3,
+                          max_frames=30, group_radius=60.0),
+    nms=NMSConfig(max_corners=64),
+)
+
+
+def _wedge_slice(cx, cy, t0, n=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(max(0, cx - 40), cx + 1, n).astype(np.int32)
+    y = rng.integers(max(0, cy - 40), cy + 1, n).astype(np.int32)
+    t = (t0 + np.sort(rng.integers(0, 900, n))).astype(np.int32)
+    return x, y, t
+
+
+def test_event_exact_matches_per_event_oracle():
+    """Engine per-event scan == per-event oracle chain (write, then detect on
+    the current surface) — detections AND trajectories, bit-for-bit."""
+    state = pipeline.init_corner_state(CFG)
+    sae_ref = np.zeros((H, W), np.int64)
+    oracle_tracker = CornerTrackerOracle(CFG.tracker)
+    traj_engine, traj_oracle = {}, {}
+
+    cx, cy = 50, 50
+    for s in range(5):
+        x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), seed=s)
+        valid = np.ones(len(x), bool)
+
+        state, out = pipeline.corner_track_step_event_exact(
+            state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(t),
+            jnp.asarray(valid), CFG)
+
+        # oracle: EXACT per-event order — update SAE, then detect this event
+        cand = []
+        for xi, yi, ti in zip(x, y, t):
+            sae_ref[yi, xi] = ti
+            if s > 0:
+                m = detect_corners_reference_numpy(
+                    sae_ref, [xi], [yi], CFG.efast, CFG.sensor)
+                if m[0]:
+                    cand.append((int(xi), int(yi)))
+        filt = filter_corners_reference_numpy(
+            [c[0] for c in cand], [c[1] for c in cand], W, H, CFG.nms)
+        oracle_tracker.update([(float(a), float(b)) for a, b in filt])
+
+        assert int(out.num_corners) == len(cand), (s, int(out.num_corners),
+                                                   len(cand))
+        assert int(out.num_filtered) == len(filt), (s, int(out.num_filtered),
+                                                    len(filt))
+        act = np.asarray(out.track_active)
+        for slot in np.where(act)[0]:
+            lab = int(np.asarray(out.track_label)[slot])
+            traj_engine.setdefault(lab, []).append(
+                tuple(np.asarray(out.track_pos)[slot]))
+        for tr in oracle_tracker.tracks:
+            traj_oracle.setdefault(tr.label, []).append((tr.x, tr.y))
+        cx += 6
+
+    assert traj_oracle, "oracle produced no tracks — scene invalid"
+    assert metrics.trajectory_coverage(traj_engine, traj_oracle) == 1.0
+    assert metrics.ate(traj_engine, traj_oracle) < 1e-3
+
+
+def test_slice_sync_approximation_quantified():
+    """Quantify the throughput path's slice-synchronous approximation against
+    the reference-semantics per-event-exact detector at the DETECTION level
+    (trajectory ATE between the modes is dominated by which survivors the
+    NMS picks from overlapping candidate clouds, not by surface semantics).
+
+    Measured on a densely repainted moving wedge (8 slices, 2048 ev/slice,
+    2026-08-19): exact→sync corner-pixel chamfer mean 11.2 px, 36% exact
+    pixel agreement, 70% within one NMS box (15 px). The residual is
+    mid-slice TRANSIENT corners: the evolving surface detects arcs that the
+    end-of-slice surface has already overwritten (and vice versa). Bounds
+    below are those measurements with margin; stronger agreement appears on
+    persistent structured corners (the 0-distance matches every slice).
+    """
+    from evflow_tpu.ops import sae as sae_ops, efast
+
+    sae_sync = sae_ops.init_sae(CFG.sensor)
+    sae_exact = sae_ops.init_sae(CFG.sensor)
+    cx, cy = 50, 50
+    dists = []
+    n_sync_tot = n_exact_tot = 0
+    for s in range(8):
+        x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), n=2048, seed=s)
+        xv, yv, tv = jnp.asarray(x), jnp.asarray(y), jnp.asarray(t)
+        vv = jnp.ones(len(x), bool)
+        sae_sync = sae_ops.update_sae(sae_sync, xv, yv, tv, vv)
+        m_sync = np.asarray(efast.detect_corners(
+            sae_sync, xv, yv, vv, CFG.efast, CFG.sensor)) & (s > 0)
+        sae_exact, m_ex = pipeline.event_exact_corner_mask(
+            sae_exact, xv, yv, tv, vv, jnp.bool_(s > 0), CFG)
+        m_ex = np.asarray(m_ex)
+        n_sync_tot += int(m_sync.sum())
+        n_exact_tot += int(m_ex.sum())
+        if m_ex.any() and m_sync.any():
+            e = np.unique(np.stack([x[m_ex], y[m_ex]], 1), axis=0)
+            sp = np.unique(np.stack([x[m_sync], y[m_sync]], 1), axis=0)
+            d = np.linalg.norm(e[:, None, :].astype(float)
+                               - sp[None, :, :], axis=2).min(1)
+            dists.append(d)
+        cx += 6
+
+    assert n_exact_tot > 10 and n_sync_tot > 10, (n_exact_tot, n_sync_tot)
+    d = np.concatenate(dists)
+    frac_box = (d <= CFG.nms.box_size).mean()
+    assert d.mean() <= 15.0, d.mean()
+    assert frac_box >= 0.6, frac_box
+    # detection volumes stay the same order of magnitude
+    assert 0.2 <= n_exact_tot / n_sync_tot <= 5.0, (n_exact_tot, n_sync_tot)
+
+
+def test_candidate_compaction_preserves_nms_output():
+    """max_candidates compaction (detect once per touched pixel) must leave
+    the post-NMS corner stream unchanged vs detecting on every event, on a
+    redundant stream (duplicates are suppressed at distance 0)."""
+    import dataclasses
+    cfg_full = dataclasses.replace(
+        CFG, efast=dataclasses.replace(CFG.efast, max_candidates=0))
+    st_a = pipeline.init_corner_state(CFG)
+    st_b = pipeline.init_corner_state(cfg_full)
+    cx, cy = 50, 50
+    saw = 0
+    for s in range(6):
+        x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), n=2048, seed=s)
+        xv, yv, tv = jnp.asarray(x), jnp.asarray(y), jnp.asarray(t)
+        vv = jnp.ones(len(x), bool)
+        st_a, oa = pipeline.corner_track_step(st_a, xv, yv, tv, vv, CFG)
+        st_b, ob = pipeline.corner_track_step(st_b, xv, yv, tv, vv, cfg_full)
+        assert int(oa.num_filtered) == int(ob.num_filtered), s
+        saw += int(oa.num_filtered)
+        np.testing.assert_array_equal(np.asarray(oa.track_active),
+                                      np.asarray(ob.track_active))
+        np.testing.assert_allclose(
+            np.asarray(oa.track_pos)[np.asarray(oa.track_active)],
+            np.asarray(ob.track_pos)[np.asarray(ob.track_active)], atol=1e-5)
+        cx += 6
+    assert saw > 0
