@@ -1,0 +1,55 @@
+"""Exact AEClustering engine throughput (bit-parity path).
+
+Round-1 measurement: 974 ms per 16384-event slice (16.8k events/s) with the
+per-event deque ops + scatter reductions inside the scan. Round 2 target
+(VERDICT item 5): >= 5x. Timing per CLAUDE.md rules: whole-sequence scan,
+chained reps, one draining 1-element readback.
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import evflow_tpu
+evflow_tpu.setup_cache()
+from evflow_tpu.config import ClusterConfig
+from evflow_tpu.models import aeclustering as ae
+
+N, S = 16384, 4
+cfg = ClusterConfig()          # szBuffer 800, C 128, M 1024
+rng = np.random.default_rng(0)
+cx = np.array([200, 900, 600]); cy = np.array([200, 500, 150])
+k = rng.integers(0, 3, (S, N))
+xs = jnp.asarray(np.clip(rng.normal(cx[k], 12), 0, 1279).astype(np.int32))
+ys = jnp.asarray(np.clip(rng.normal(cy[k], 12), 0, 719).astype(np.int32))
+ts = jnp.asarray((np.arange(S * N, dtype=np.int32) * 3).reshape(S, N))
+ps = jnp.zeros((S, N), jnp.int32)
+vs = jnp.ones((S, N), bool)
+
+
+@jax.jit
+def run(state, xs, ys, ts, ps, vs):
+    def step(st, ev):
+        x, y, t, p, v = ev
+        return ae.update_slice(st, x, y, t, p, v, cfg), None
+    st, _ = jax.lax.scan(step, state, (xs, ys, ts, ps, vs))
+    return st
+
+
+state = ae.init_state(cfg)
+t0 = time.perf_counter()
+out = run(state, xs, ys, ts, ps, vs)
+jax.block_until_ready(out)
+print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+np.asarray(out.event_id).ravel()[:1]
+
+reps = 3
+t0 = time.perf_counter()
+for _ in range(reps):
+    out = run(state, xs, ys, ts, ps, vs)
+np.asarray(out.event_id).ravel()[:1]
+dt = (time.perf_counter() - t0) / reps / S
+print(f"per-slice {dt*1e3:.1f} ms  ({N/dt/1e3:.1f}k events/s)  "
+      f"live clusters {int(jnp.sum(out.alive))}", flush=True)

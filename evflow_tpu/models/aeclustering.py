@@ -214,18 +214,166 @@ def update_event(state: AEState, x, y, t_raw, p,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def update_slice(state: AEState, x, y, t, p, valid,
                  cfg: ClusterConfig = ClusterConfig()) -> AEState:
-    """scan the per-event update over one slice (masked lanes are no-ops)."""
+    """scan the per-event update over one slice (masked lanes are no-ops).
+
+    Bit-equal to scanning `update_event`, restructured for TPU scan-step
+    cost (~5.4x measured, BASELINE.md):
+      - the sliding-window tMin of every event depends only on push TIMES,
+        never on cluster state, so it is precomputed for the whole slice
+        OUTSIDE the scan (deque ops leave the loop; tbuf updates collapse to
+        one slice-end scatter);
+      - forget is LAZY: a member is live iff mt >= tMin. tMin is monotone,
+        so expired members never resurrect; explicit per-event ring rewrites
+        (and the dead-cluster member sweep) are redundant — a dead slot's
+        members are always either expired or merge-reassigned to the
+        surviving target;
+      - per-cluster stats ride an (M, C) equality panel (VPU compare+reduce)
+        instead of scatter reductions (scatters are the slow primitive on
+        this backend, CLAUDE.md rule 5);
+      - invalid lanes gate each write instead of a whole-state `where`.
+    """
+    w = cfg.sz_buffer
+    c = cfg.max_clusters
+    m = cfg.max_members
+    n = x.shape[0]
+    x = x.astype(jnp.int32)
+    y = y.astype(jnp.int32)
+    t_raw = t.astype(jnp.int32)
+    p = p.astype(jnp.int32)
+
+    # --- t0 / relative times (vectorized; t0 = first valid event's raw time)
+    first_valid = jnp.argmax(valid).astype(jnp.int32)
+    has_any = jnp.any(valid)
+    t0 = jnp.where(state.has_t0, state.t0, t_raw[first_valid])
+    tr = t_raw - t0
+
+    # --- per-lane update index and precomputed tMin
+    upd = jnp.cumsum(valid.astype(jnp.int32)) - 1     # update idx within slice
+    gidx = state.thead + upd                          # global update idx
+    # timeline[j] = push time of global update (thead - w + j), j in [0, w+n):
+    # update u was stored at tbuf[u % w], so position (thead - w + j) % w
+    prev_times = state.tbuf[(state.thead - w + jnp.arange(w)) % w]
+    slice_times = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(valid, upd, n)].set(jnp.where(valid, tr, 0),
+                                      mode="drop")[:n]
+    timeline = jnp.concatenate([prev_times, slice_times])
+    tmin_gidx = jnp.maximum(gidx - w + 1, 0)          # update holding tMin
+    tmin = timeline[jnp.clip(tmin_gidx - state.thead + w, 0, w + n - 1)]
+
+    # --- slice-end push buffer: only each slot's LAST writer lands (scatter
+    # with duplicate indices has no ordering guarantee)
+    n_push = jnp.sum(valid.astype(jnp.int32))
+    final_writer = valid & (upd >= n_push - w)
+    tbuf = state.tbuf.at[jnp.where(final_writer, gidx % w, w)].set(
+        jnp.where(final_writer, tr, 0), mode="drop")
+    thead = state.thead + n_push
+
+    cids = jnp.arange(c, dtype=jnp.int32)
+    alpha = cfg.alpha
 
     def step(st, ev):
-        xi, yi, ti, pi, vi = ev
-        new = update_event(st, xi, yi, ti, pi, cfg)
-        st = jax.tree.map(lambda a, b: jnp.where(vi, b, a), st, new)
-        return st, None
+        (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+         next_order, next_cid, event_id, last_updated, overflow) = st
+        xi, yi, ti, pi, vi, tmini = ev
 
-    state, _ = jax.lax.scan(step, state,
-                            (x.astype(jnp.int32), y.astype(jnp.int32),
-                             t.astype(state.mt.dtype), p.astype(jnp.int32), valid))
-    return state
+        # (M, C) membership panel; live = not yet expired by the window
+        eq_all = mcid[:, None] == cids[None, :]
+        live_m = (mcid >= 0) & (mt >= tmini)
+        n_c = jnp.sum(eq_all & live_m[:, None], axis=0).astype(jnp.int32)
+        empty = alive & (n_c == 0)
+        live = alive & (n_c > 0)
+
+        pix = jnp.stack([xi, yi]).astype(jnp.float32)
+        dist_mu = jnp.abs(pix[0] - mu[:, 0]) + jnp.abs(pix[1] - mu[:, 1])
+        near = live & (dist_mu <= cfg.radius)
+        if cfg.kappa == 0:
+            assigned = near   # deployed default: sampling branch never matches
+        else:
+            d = (jnp.abs(mx - xi) + jnp.abs(my - yi)).astype(jnp.float32)
+            d = jnp.where(live_m, d, _INF)
+            dmin_c = jnp.min(jnp.where(eq_all & live_m[:, None],
+                                       d[:, None], _INF), axis=0)
+            samp = live & ~near & (n_c > cfg.min_n) & (dmin_c <= cfg.radius)
+            assigned = near | samp
+        n_assigned = jnp.sum(assigned.astype(jnp.int32))
+        any_assigned = n_assigned > 0
+
+        order_key = jnp.where(assigned, corder, _BIG)
+        target_assigned = jnp.argmin(order_key).astype(jnp.int32)
+        free = ~alive
+        free_slot = jnp.argmax(free).astype(jnp.int32)
+        have_free = jnp.any(free)
+        make_new = vi & ~any_assigned & have_free
+        overflow = overflow + jnp.where(vi & ~any_assigned & ~have_free, 1, 0)
+        target = jnp.where(any_assigned, target_assigned, free_slot)
+        do_add = vi & (any_assigned | make_new)
+
+        slot = event_id % m
+        mx = mx.at[slot].set(jnp.where(do_add, xi, mx[slot]))
+        my = my.at[slot].set(jnp.where(do_add, yi, my[slot]))
+        mt = mt.at[slot].set(jnp.where(do_add, ti, mt[slot]))
+        mp = mp.at[slot].set(jnp.where(do_add, pi, mp[slot]))
+        mcid = mcid.at[slot].set(jnp.where(do_add, target, mcid[slot]))
+        event_id = event_id + jnp.where(do_add, 1, 0)
+
+        is_first = jnp.where(any_assigned, n_c[target] == 0, True)
+        new_mu_t = jnp.where(is_first, pix,
+                             (1.0 - alpha) * mu[target] + alpha * pix)
+        mu = mu.at[target].set(jnp.where(do_add, new_mu_t, mu[target]))
+        alive = alive.at[free_slot].set(
+            jnp.where(make_new, True, alive[free_slot]))
+        corder = corder.at[free_slot].set(
+            jnp.where(make_new, next_order, corder[free_slot]))
+        cid = cid.at[free_slot].set(
+            jnp.where(make_new, next_cid, cid[free_slot]))
+        next_order = next_order + jnp.where(make_new, 1, 0)
+        next_cid = next_cid + jnp.where(make_new, 1, 0)
+
+        # merge (>= 2 assigned): weighted mu, members to target, others die
+        do_merge = vi & (n_assigned >= 2)
+        n_post = n_c + (cids == target).astype(jnp.int32)
+        wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
+        merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
+                     / jnp.maximum(jnp.sum(wgt), 1.0))
+        mu = jnp.where(do_merge,
+                       mu.at[target].set(merged_mu), mu)
+        member_in_assigned = (mcid >= 0) & jnp.any(
+            eq_all & assigned[None, :], axis=1)
+        mcid = jnp.where(do_merge & member_in_assigned, target, mcid)
+        kill_merge = assigned & (cids != target)
+        alive = jnp.where(do_merge & kill_merge, False, alive)
+
+        # remove empties (skipped on merge updates, AEClustering.cpp:104)
+        alive = jnp.where(vi & ~do_merge & empty, False, alive)
+        corder = jnp.where(~alive, _BIG, corder)
+
+        last_updated = jnp.where(vi, jnp.where(do_add, target, -1),
+                                 last_updated)
+        return (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+                next_order, next_cid, event_id, last_updated, overflow), None
+
+    carry0 = (state.alive, state.corder, state.cid, state.mu,
+              state.mx, state.my, state.mt, state.mp, state.mcid,
+              state.next_order, state.next_cid, state.event_id,
+              state.last_updated, state.overflow)
+    carry, _ = jax.lax.scan(step, carry0, (x, y, tr, p, valid, tmin))
+    (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+     next_order, next_cid, event_id, last_updated, overflow) = carry
+    # normalize lazily-forgotten members so the state matches update_event's
+    # eager form bit-for-bit (oracle tests compare memberships via mcid)
+    final_tmin = tmin[jnp.where(has_any, n - 1 - jnp.argmax(jnp.flip(valid)),
+                                0)]
+    final_tmin = jnp.where(has_any, final_tmin, jnp.iinfo(jnp.int32).min)
+    mcid = jnp.where((mcid >= 0) & (mt >= final_tmin), mcid, -1)
+    # members of dead slots are expired or reassigned by construction; clear
+    # the expired ones above, then drop any residue pointing at dead slots
+    mcid = jnp.where((mcid >= 0) & ~alive[jnp.clip(mcid, 0, c - 1)], -1, mcid)
+    return AEState(
+        t0=t0, has_t0=state.has_t0 | has_any, tbuf=tbuf, thead=thead,
+        mx=mx, my=my, mt=mt, mp=mp, mcid=mcid,
+        alive=alive, corder=corder, cid=cid, mu=mu,
+        next_order=next_order, next_cid=next_cid, event_id=event_id,
+        last_updated=last_updated, overflow=overflow)
 
 
 class ClusterView(NamedTuple):

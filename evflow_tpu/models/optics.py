@@ -314,6 +314,181 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
 
 
 # --------------------------------------------------------------------------
+# Cell-pair SHIFT ε-neighborhoods — zero gathers (r2, VERDICT item 4)
+# --------------------------------------------------------------------------
+#
+# The grid path above spends its time on the (N, 3^d) row gathers of bucket
+# rows (measured: the dominant term at n=100k). This formulation removes
+# every gather from the hot loop: the bucket table lives ON the grid with a
+# one-cell halo, the 3^d neighbor windows are STATIC SLICES of the padded
+# grid (contiguous copies, no descriptors), and distances ride per-cell
+# (B, 3^d·B) panels in a cell-block fori_loop. Lane inflation vs the gather
+# path is ncells·B / N (the bucket-slack factor, ~1.3x on uniform clouds) —
+# cheap next to the removed gather. One (N,)-row gather at the very end maps
+# slot results back to point order.
+
+@functools.partial(jax.jit, static_argnames=("dims", "bucket", "min_pts",
+                                             "cellblock", "ncblocks",
+                                             "select_k"))
+def _compute_neighbors_cellpair_jit(pts, mins, eps, dims, bucket,
+                                    min_pts, cellblock, ncblocks, select_k):
+    n, d = pts.shape
+    ncells = int(np.prod(dims))
+    b = bucket
+    cell_coord = jnp.floor((pts - mins[None, :]) / eps).astype(jnp.int32)
+    cell_coord = jnp.clip(cell_coord, 0, jnp.asarray(dims, jnp.int32) - 1)
+    strides = np.array([int(np.prod(dims[j + 1:])) for j in range(d)], np.int64)
+    cell_id = jnp.sum(cell_coord * jnp.asarray(strides, jnp.int32)[None, :],
+                      axis=1)
+
+    # rank within cell (sorted compaction, as in the grid path)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    sc, sl = jax.lax.sort((cell_id, lane), num_keys=1)
+    first = jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, jnp.arange(n), 0))
+    rank = jnp.zeros((n,), jnp.int32).at[sl].set(
+        (jnp.arange(n) - run_start).astype(jnp.int32))
+
+    # slot tables: coords (ncells*B, d) (inf-padded) + lane ids (-1-padded)
+    base = cell_id * b + rank
+    tab_c = jnp.full((ncells * b, d), jnp.inf, jnp.float32).at[base].set(
+        pts, mode="drop")
+    tab_i = jnp.full((ncells * b,), -1, jnp.int32).at[base].set(
+        lane, mode="drop")
+
+    # grid layout with a one-cell halo per spatial dim
+    gc = tab_c.reshape(*dims, b, d)
+    gi = tab_i.reshape(*dims, b)
+    pad_sp = [(1, 1)] * d
+    gc = jnp.pad(gc, pad_sp + [(0, 0), (0, 0)], constant_values=jnp.inf)
+    gi = jnp.pad(gi, pad_sp + [(0, 0)], constant_values=-1)
+
+    # 3^d neighbor windows as STATIC slices of the padded grid
+    offs = np.stack(np.meshgrid(*([np.array([0, 1, 2])] * d),
+                                indexing="ij"), axis=-1).reshape(-1, d)
+    noff = offs.shape[0]
+    cand_c = jnp.stack(
+        [jax.lax.slice(gc, tuple(o) + (0, 0),
+                       tuple(o[j] + dims[j] for j in range(d)) + (b, d))
+         .reshape(ncells, b, d) for o in offs], axis=1)   # (ncells, noff, B, d)
+    cand_i = jnp.stack(
+        [jax.lax.slice(gi, tuple(o) + (0,),
+                       tuple(o[j] + dims[j] for j in range(d)) + (b,))
+         .reshape(ncells, b) for o in offs], axis=1)      # (ncells, noff, B)
+    m = noff * b
+    cand_c = cand_c.reshape(ncells, m, d)
+    cand_i = cand_i.reshape(ncells, m)
+    own_c = tab_c.reshape(ncells, b, d)
+    own_i = tab_i.reshape(ncells, b)
+
+    ncpad = ncblocks * cellblock
+    cand_c = jnp.pad(cand_c, ((0, ncpad - ncells), (0, 0), (0, 0)),
+                     constant_values=jnp.inf)
+    cand_i = jnp.pad(cand_i, ((0, ncpad - ncells), (0, 0)),
+                     constant_values=-1)
+    own_c = jnp.pad(own_c, ((0, ncpad - ncells), (0, 0), (0, 0)),
+                    constant_values=jnp.inf)
+    out_k = select_k if select_k else m
+
+    def body(i, acc):
+        idx_acc, d_acc, c_acc, core_acc = acc
+        oc = jax.lax.dynamic_slice_in_dim(own_c, i * cellblock, cellblock, 0)
+        cc = jax.lax.dynamic_slice_in_dim(cand_c, i * cellblock, cellblock, 0)
+        ci = jax.lax.dynamic_slice_in_dim(cand_i, i * cellblock, cellblock, 0)
+        d2 = jnp.zeros((cellblock, b, m), jnp.float32)
+        for j in range(d):
+            dj = oc[:, :, None, j] - cc[:, None, :, j]
+            d2 = d2 + dj * dj
+        dist = jnp.sqrt(d2)
+        ok = (ci[:, None, :] >= 0) & (dist <= eps)
+        dist = jnp.where(ok, dist, jnp.inf).reshape(cellblock * b, m)
+        civ = jnp.where(ok, ci[:, None, :], -1).reshape(cellblock * b, m)
+        cnt = jnp.sum(ok, axis=2).reshape(cellblock * b).astype(jnp.int32)
+        if select_k:
+            negs, posk = jax.lax.top_k(-dist, select_k)
+            sd = -negs
+            si = jnp.take_along_axis(civ, posk, axis=1)
+            si = jnp.where(jnp.isfinite(sd), si, -1)
+            if min_pts <= select_k:
+                core = sd[:, min_pts - 1]
+            else:
+                core = jnp.full((cellblock * b,), jnp.inf, jnp.float32)
+        else:
+            sd, si = dist, civ
+            if min_pts <= m:
+                # small-k extraction for the core distance only (no full sort)
+                negk = jax.lax.top_k(-dist, min_pts)[0]
+                core = -negk[:, min_pts - 1]
+            else:
+                core = jnp.full((cellblock * b,), jnp.inf, jnp.float32)
+        core = jnp.where(cnt >= min_pts, core, jnp.inf)
+        s = i * cellblock * b
+        return (jax.lax.dynamic_update_slice_in_dim(idx_acc, si, s, 0),
+                jax.lax.dynamic_update_slice_in_dim(d_acc, sd, s, 0),
+                jax.lax.dynamic_update_slice_in_dim(c_acc, cnt, s, 0),
+                jax.lax.dynamic_update_slice_in_dim(core_acc, core, s, 0))
+
+    init = (jnp.zeros((ncpad * b, out_k), jnp.int32),
+            jnp.full((ncpad * b, out_k), jnp.inf, jnp.float32),
+            jnp.zeros((ncpad * b,), jnp.int32),
+            jnp.full((ncpad * b,), jnp.inf, jnp.float32))
+    idx_s, dist_s, cnt_s, core_s = jax.lax.fori_loop(0, ncblocks, body, init)
+
+    # one row gather maps slot-ordered results back to point order
+    idx = jnp.take(idx_s, base, axis=0)
+    dist = jnp.take(dist_s, base, axis=0)
+    cnt = jnp.take(cnt_s, base, axis=0)
+    core = jnp.take(core_s, base, axis=0)
+    return idx, dist, cnt, core
+
+
+def compute_neighbors_cellpair(points: np.ndarray, eps: float, min_pts: int,
+                               max_neighbors: int = 256,
+                               max_bucket: int = 1024,
+                               max_cells: int = 1 << 22,
+                               cellblock: int = 1024
+                               ) -> Optional[NeighborTable]:
+    """Zero-gather cell-pair ε-neighborhoods (see block comment). Same
+    guards and same exact-neighbor-set contract as compute_neighbors_grid;
+    returns None when the grid degenerates (caller falls back)."""
+    pts_np = np.asarray(points, dtype=np.float32)
+    n, d = pts_np.shape
+    if d > 4 or n == 0:
+        return None
+    mins = pts_np.min(axis=0)
+    cell_coord = np.floor((pts_np - mins) / np.float32(eps)).astype(np.int64)
+    dims = cell_coord.max(axis=0) + 1
+    ncells = int(np.prod(dims))
+    if ncells > max_cells:
+        return None
+    cell_id = np.ravel_multi_index(cell_coord.T, dims).astype(np.int32)
+    occ = np.bincount(cell_id, minlength=ncells)
+    bucket = _next_pow2(int(occ.max()))
+    if bucket > max_bucket:
+        return None
+    m = (3 ** d) * bucket
+    # slot-space memory: candidate stacks are (ncells, 3^d·B, d+1) fp32 and
+    # the full-window output is (ncells·B, K) — keep both HBM-sane
+    if ncells * bucket > max(32 * n, 1 << 20):
+        return None
+    if ncells * m * (d + 1) * 4 > 1 << 31:
+        return None
+    if m > max_neighbors and min_pts > max_neighbors:
+        return None
+    select_k = 0 if m <= 4 * max_neighbors else min(
+        max(max_neighbors, min_pts), n)
+    if (not select_k) and ncells * bucket * m * 8 > 1 << 32:
+        select_k = min(max(max_neighbors, min_pts), n)
+    ncblocks = -(-ncells // cellblock)
+    idx, dist, cnt, core = _compute_neighbors_cellpair_jit(
+        jnp.asarray(pts_np, jnp.float32), jnp.asarray(mins, jnp.float32),
+        jnp.float32(eps), tuple(int(v) for v in dims), bucket, min_pts,
+        cellblock, ncblocks, select_k)
+    return NeighborTable(idx, dist, cnt, core)
+
+
+# --------------------------------------------------------------------------
 # Host sweep (optics.hpp:525-565)
 # --------------------------------------------------------------------------
 

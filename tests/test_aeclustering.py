@@ -128,3 +128,39 @@ def test_fixture_csv_matches_oracle():
     _, view = _run_engine(s.x, s.y, s.t, s.p, cfg)
     o = _run_oracle(s.x, s.y, s.t, s.p, cfg)
     _compare(view, o, cfg)
+
+
+def test_update_slice_matches_eager_update_event():
+    """The optimized update_slice (precomputed tMin, lazy forget, panel
+    stats) must equal scanning the eager update_event bit-for-bit, across
+    window wrap, merges, expiries, and interleaved invalid lanes."""
+    import jax
+    cfg = ClusterConfig(sz_buffer=48, radius=12.0, min_n=2,
+                        max_clusters=12, max_members=64)
+    rng = np.random.default_rng(5)
+    st_fast = ae.init_state(cfg)
+    st_eager = ae.init_state(cfg)
+    t_base = 1000
+    for s in range(6):
+        n = 40
+        xs = rng.integers(0, 100, n).astype(np.int32)
+        ys = rng.integers(0, 100, n).astype(np.int32)
+        ts = (t_base + np.sort(rng.integers(0, 500, n))).astype(np.int32)
+        ps = rng.integers(0, 2, n).astype(np.int32)
+        vs = rng.random(n) < 0.8
+        t_base += 600
+
+        st_fast = ae.update_slice(st_fast, jnp.asarray(xs), jnp.asarray(ys),
+                                  jnp.asarray(ts), jnp.asarray(ps),
+                                  jnp.asarray(vs), cfg)
+        for xi, yi, ti, pi, vi in zip(xs, ys, ts, ps, vs):
+            if vi:
+                st_eager = ae.update_event(st_eager, jnp.int32(xi),
+                                           jnp.int32(yi), jnp.int32(ti),
+                                           jnp.int32(pi), cfg)
+        for f in ("alive", "corder", "cid", "mu", "mcid", "mx", "my", "mt",
+                  "thead", "next_order", "next_cid", "event_id", "overflow",
+                  "t0"):
+            a = np.asarray(getattr(st_fast, f))
+            b = np.asarray(getattr(st_eager, f))
+            np.testing.assert_array_equal(a, b, err_msg=f"slice {s} field {f}")
