@@ -47,7 +47,7 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
                                          approx=True)
         _np.asarray(table.count[:1])
         dev_times.append(time.perf_counter() - t0)
-    # grid-bucketed path (None when it does not apply, e.g. dim > 4)
+    # grid-bucketed path (None when it does not apply, e.g. dim > 3)
     grid_best = None
     if optics.compute_neighbors_grid(pts, eps, min_pts,
                                      max_neighbors=max_neighbors) is not None:
@@ -59,6 +59,17 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
             _np.asarray(table.count[:1])
             gt.append(time.perf_counter() - t0)
         grid_best = min(gt)
+    # zero-gather cell-pair shift path (the auto choice at d <= 2)
+    if dim <= 2 and optics.compute_neighbors_cellpair(
+            pts, eps, min_pts, max_neighbors=max_neighbors) is not None:
+        ct = []
+        for _ in range(laps):
+            t0 = time.perf_counter()
+            table = optics.compute_neighbors_cellpair(
+                pts, eps, min_pts, max_neighbors=max_neighbors)
+            _np.asarray(table.count[:1])
+            ct.append(time.perf_counter() - t0)
+        grid_best = min(grid_best, min(ct)) if grid_best else min(ct)
     return min(dev_times), grid_best
 
 

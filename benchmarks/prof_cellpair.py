@@ -44,3 +44,21 @@ for dim in (2, 3, 4):
             pts, eps, 10, max_neighbors=64))
     print(f"d={dim} n=100k: cellpair {t_cp*1e3:7.1f} ms   grid "
           f"{'%.1f ms' % (t_g*1e3) if t_g else 'n/a'}", flush=True)
+
+
+print("--- projected grid (first-3-dims bucketing, full-D distances) ---",
+      flush=True)
+for dim in (4, 5, 6):
+    pts = uniform_cloud(100_000, dim, 1000.0, seed=1)
+    eps = optics.epsilon_estimation(pts, 10)
+    g = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=64,
+                                      approx=True)
+    if g is None:
+        print(f"d={dim}: projected grid declined", flush=True)
+        continue
+    t_g = lap(lambda: optics.compute_neighbors_grid(
+        pts, eps, 10, max_neighbors=64, approx=True))
+    t_d = lap(lambda: optics.compute_neighbors(
+        pts, eps, 10, max_neighbors=64, approx=True))
+    print(f"d={dim} n=100k: projected-grid {t_g*1e3:7.1f} ms   dense "
+          f"{t_d*1e3:7.1f} ms", flush=True)

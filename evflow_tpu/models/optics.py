@@ -153,21 +153,27 @@ def _next_pow2(v: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "bucket", "min_pts",
-                                             "block", "nblocks", "select_k"))
+                                             "block", "nblocks", "select_k",
+                                             "approx"))
 def _compute_neighbors_grid_jit(pts, mins, eps, dims, bucket,
-                                min_pts, block, nblocks, select_k):
+                                min_pts, block, nblocks, select_k,
+                                approx=False):
     n, d = pts.shape
+    g = len(dims)      # grid over the first g dims (g < d: PROJECTED grid —
+    #                    any full-D eps-neighbor differs by <= eps per
+    #                    coordinate, so it lies within the +-1 projected
+    #                    window; distances below always use all d dims)
     ncells = int(np.prod(dims))
-    # Cell ids and 3^d neighbor windows computed ON DEVICE — shipping a
-    # host-built (N, 3^d) window array costs more in transfer than the whole
+    # Cell ids and 3^g neighbor windows computed ON DEVICE — shipping a
+    # host-built (N, 3^g) window array costs more in transfer than the whole
     # kernel (this rig's relay moves a few MB/s; only pts crosses the link).
-    cell_coord = jnp.floor((pts - mins[None, :]) / eps).astype(jnp.int32)
+    cell_coord = jnp.floor((pts[:, :g] - mins[None, :g]) / eps).astype(jnp.int32)
     cell_coord = jnp.clip(cell_coord, 0, jnp.asarray(dims, jnp.int32) - 1)
-    strides = np.array([int(np.prod(dims[j + 1:])) for j in range(d)], np.int64)
+    strides = np.array([int(np.prod(dims[j + 1:])) for j in range(g)], np.int64)
     cell_id = jnp.sum(cell_coord * jnp.asarray(strides, jnp.int32)[None, :],
                       axis=1)
-    offs_np = np.stack(np.meshgrid(*([np.array([-1, 0, 1])] * d),
-                                   indexing="ij"), axis=-1).reshape(-1, d)
+    offs_np = np.stack(np.meshgrid(*([np.array([-1, 0, 1])] * g),
+                                   indexing="ij"), axis=-1).reshape(-1, g)
     noff = offs_np.shape[0]
     nbr_coord = cell_coord[:, None, :] + jnp.asarray(offs_np, jnp.int32)[None]
     in_grid = jnp.all((nbr_coord >= 0) &
@@ -226,7 +232,10 @@ def _compute_neighbors_grid_jit(pts, mins, eps, dims, bucket,
         ci = jnp.where(ok, ci, -1)
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
         if select_k:                                  # keep the k nearest only
-            negs, posk = jax.lax.top_k(-dist, select_k)
+            if approx:     # approx_max_k: TPU-native partial sort; recall<1
+                negs, posk = jax.lax.approx_max_k(-dist, select_k)
+            else:
+                negs, posk = jax.lax.top_k(-dist, select_k)
             sd = -negs                                # ascending distances
             si = jnp.take_along_axis(ci, posk, axis=1)
             si = jnp.where(jnp.isfinite(sd), si, -1)
@@ -258,25 +267,34 @@ def _compute_neighbors_grid_jit(pts, mins, eps, dims, bucket,
 def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
                            max_neighbors: int = 256, block: int = 4096,
                            max_bucket: int = 1024,
-                           max_cells: int = 1 << 22) -> Optional[NeighborTable]:
+                           max_cells: int = 1 << 22,
+                           approx: bool = False,
+                           allow_projected: bool = False
+                           ) -> Optional[NeighborTable]:
     """Grid-bucketed ε-neighborhoods. Returns None when the grid degenerates
-    (dim > 3, over-dense cells, or too many cells) — caller falls back to the
-    dense panel path. Results match compute_neighbors exactly (same neighbor
-    sets; distances use the exact difference form, which is *more* accurate
-    than the |a|²+|b|²-2ab panel). Neighbor rows are UNSORTED when the 3^d·B
-    window fits max_neighbors (the OPTICS sweep is order-agnostic); otherwise
-    the k nearest are kept, sorted."""
+    (over-dense cells or too many cells) — caller falls back to the dense
+    panel path. For d > 3 a PROJECTED grid on the first three coordinates is
+    available (every full-D eps-neighbor lies within the ±1 projected
+    window, so neighbor sets stay exact), but it is opt-in: ε grows with
+    dim, fattening the projected windows — measured at n=100k the projected
+    grid gives 299/621/1144 ms at d=4/5/6 vs 275/329/286 ms dense MXU
+    panels, so the auto path keeps dense for d > 3.
+    Results match compute_neighbors exactly (same neighbor sets; distances
+    use the exact difference form, which is *more* accurate than the
+    |a|²+|b|²-2ab panel). Neighbor rows are UNSORTED when the 3^g·B window
+    fits max_neighbors (the OPTICS sweep is order-agnostic); otherwise the k
+    nearest are kept, sorted (approx=True uses approx_max_k there — same
+    recall semantics as the dense approx path)."""
     pts_np = np.asarray(points, dtype=np.float32)
     n, d = pts_np.shape
-    if d > 3 or n == 0:
-        # measured on hardware: at d=4 the 3^4=81-cell candidate window costs
-        # 342 ms at n=100k vs 307 ms for the dense MXU panels — the window
-        # width kills the grid before max_cells does; dense wins for d > 3
+    if n == 0 or (d > 3 and not allow_projected):
         return None
+    g = min(d, 3)
     # fp32 throughout so host occupancy counting mirrors the device's cell
     # arithmetic bit-for-bit (a boundary point must not overflow its bucket)
     mins = pts_np.min(axis=0)
-    cell_coord = np.floor((pts_np - mins) / np.float32(eps)).astype(np.int64)
+    cell_coord = np.floor((pts_np[:, :g] - mins[None, :g])
+                          / np.float32(eps)).astype(np.int64)
     dims = cell_coord.max(axis=0) + 1
     ncells = int(np.prod(dims))
     if ncells > max_cells:
@@ -297,7 +315,7 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     if ncells * bucket > max(32 * n, 1 << 20):
         return None
 
-    m = (3 ** d) * bucket
+    m = (3 ** g) * bucket
     # the select path reads core_dist out of its own sorted prefix, so it
     # would need at least min_pts neighbors; lax.top_k at k >= ~256 on wide
     # rows is the known pathological case on this backend — let the dense
@@ -309,7 +327,7 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     idx, dist, cnt, core = _compute_neighbors_grid_jit(
         jnp.asarray(pts_np, jnp.float32), jnp.asarray(mins, jnp.float32),
         jnp.float32(eps), tuple(int(v) for v in dims),
-        bucket, min_pts, block, nblocks, select_k)
+        bucket, min_pts, block, nblocks, select_k, approx)
     return NeighborTable(idx, dist, cnt, core)
 
 
@@ -511,8 +529,10 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
     native C++ runtime (evflow_tpu/native/evio.cpp) when available, else the
     equivalent Python heap loop below.
 
-    method: "grid" = grid-bucketed neighbors (O(N·3^d·B), d<=3),
-    "dense" = tiled O(N²) distance panels, "auto" = grid when it applies.
+    method: "cellpair" = zero-gather shift formulation (fastest at d<=2),
+    "grid" = grid-bucketed neighbors (projected to the first 3 dims when
+    d > 3), "dense" = tiled O(N²) distance panels, "auto" = cellpair at
+    d<=2, else grid, else dense — each falling through when it declines.
     """
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
@@ -523,12 +543,19 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
     assert epsilon > 0
 
     table = None
-    if method in ("auto", "grid"):
+    if method == "cellpair" or (method == "auto" and points.shape[1] <= 2):
+        table = compute_neighbors_cellpair(points, epsilon, min_pts,
+                                           max_neighbors=max_neighbors)
+        if table is None and method == "cellpair":
+            raise ValueError("cell-pair neighbor search does not apply "
+                             "(dim > 4, degenerate grid, or over-dense cells)")
+    if table is None and method in ("auto", "grid"):
         table = compute_neighbors_grid(points, epsilon, min_pts,
-                                       max_neighbors=max_neighbors)
+                                       max_neighbors=max_neighbors,
+                                       approx=approx)
         if table is None and method == "grid":
             raise ValueError("grid neighbor search does not apply "
-                             "(dim > 3, degenerate grid, or over-dense cells)")
+                             "(degenerate grid or over-dense cells)")
     if table is None:
         table = compute_neighbors(points, epsilon, min_pts,
                                   max_neighbors=max_neighbors, block=block,

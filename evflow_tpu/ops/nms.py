@@ -39,10 +39,21 @@ def filter_corners(
     y: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: NMSConfig = NMSConfig(),
+    immune_x: jnp.ndarray | None = None,
+    immune_y: jnp.ndarray | None = None,
+    immune_valid: jnp.ndarray | None = None,
 ) -> NMSResult:
     """Greedy first-come box suppression over candidates in input order.
 
     x, y, valid: (C,). C is the fixed candidate capacity.
+
+    immune_*: optional ALREADY-ACCEPTED corners that precede every candidate
+    in greedy order — they suppress overlapping candidates but are not
+    re-filtered or emitted. Used by the tile-parallel corner path: a tile's
+    candidates follow its left neighbor's in tile-major order, and only the
+    neighbor's accepted right-boundary strip can reach them (box overlap),
+    so passing that strip as immune reproduces the full greedy result
+    exactly (parallel/tiling.py).
     """
     c = x.shape[0]
     half = cfg.box_size // 2
@@ -57,15 +68,23 @@ def filter_corners(
     both = valid[:, None] & valid[None, :]
     sup = overlap & earlier & both  # sup[i, j]: accepted j would suppress i
 
+    base_ok = valid
+    if immune_x is not None:
+        pdx = jnp.abs(xf[:, None] - immune_x.astype(jnp.int32)[None, :])
+        pdy = jnp.abs(yf[:, None] - immune_y.astype(jnp.int32)[None, :])
+        hit = jnp.any((pdx <= 2 * half) & (pdy <= 2 * half)
+                      & immune_valid[None, :], axis=1)
+        base_ok = valid & ~hit
+
     def body(state):
         acc, _ = state
-        new_acc = valid & ~jnp.any(sup & acc[None, :], axis=1)
+        new_acc = base_ok & ~jnp.any(sup & acc[None, :], axis=1)
         return new_acc, jnp.any(new_acc != acc)
 
     def cond(state):
         return state[1]
 
-    acc0 = valid
+    acc0 = base_ok
     acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.array(True)))
 
     pos = jnp.cumsum(acc.astype(jnp.int32)) - 1

@@ -413,6 +413,8 @@ def make_temporal_pipeline(mesh: Mesh, n_windows: int, n_tiles: int,
     data_ax = cfg.parallel.data_axis
     tile_ax = cfg.parallel.tile_axis
     tile_w = -(-cfg.sensor.width // n_tiles)
+    # tile-local NMS exactness bound (see tiling.corner_tile_body)
+    assert tile_w > 2 * cfg.nms.box_size, (tile_w, cfg.nms.box_size)
     ccap = cfg.cluster.max_clusters
     tcap = cfg.tracker.max_tracks
 

@@ -280,3 +280,75 @@ def test_efast_non_multiple_of_8_width():
                                           cfg, sensor))
     exp = efast.detect_corners_reference_numpy(sae, x, y, cfg, sensor)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_nms_tile_local_two_pass_equals_global_greedy():
+    """The tile-parallel NMS scheme (per-tile greedy, then re-run with the
+    left neighbor's accepted right strip immune) must equal one greedy pass
+    over the tile-major concatenation — including suppression chains across
+    the boundary — when tile width > 2*box_size and no suppression chain
+    spans a tile's whole interior (the documented deviation bound,
+    parallel/tiling.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from evflow_tpu.config import NMSConfig
+    from evflow_tpu.ops import nms
+
+    cfg = NMSConfig(box_size=15, max_corners=64)
+    tile_w, n_tiles = 64, 3
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        # clusters of candidates straddling each boundary + scattered ones
+        xs, ys = [], []
+        for b in range(1, n_tiles):
+            for _ in range(6):
+                xs.append(b * tile_w + int(rng.integers(-14, 15)))
+                ys.append(int(rng.integers(20, 40)))
+        for _ in range(20):
+            xs.append(int(rng.integers(0, tile_w * n_tiles)))
+            ys.append(int(rng.integers(0, 128)))
+        xs = np.array(xs); ys = np.array(ys)
+        order = rng.permutation(len(xs))
+        xs, ys = xs[order], ys[order]
+        tile = np.clip(xs // tile_w, 0, n_tiles - 1)
+
+        # global greedy over the tile-major concatenation
+        gx = np.concatenate([xs[tile == k] for k in range(n_tiles)])
+        gy = np.concatenate([ys[tile == k] for k in range(n_tiles)])
+        cap = cfg.max_corners
+        pad = cap - len(gx)
+        gxa = jnp.asarray(np.pad(gx, (0, pad)))
+        gya = jnp.asarray(np.pad(gy, (0, pad)))
+        gva = jnp.asarray(np.arange(cap) < len(gx))
+        ref = nms.filter_corners(gxa, gya, gva, cfg)
+        ref_set = {(int(a), int(b)) for a, b in
+                   zip(np.asarray(ref.x)[:int(ref.count)],
+                       np.asarray(ref.y)[:int(ref.count)])}
+
+        # tile-local two-pass
+        got = set()
+        prev_strip = (jnp.zeros((cap,), jnp.int32),
+                      jnp.zeros((cap,), jnp.int32),
+                      jnp.zeros((cap,), bool))
+        for k in range(n_tiles):
+            lx = xs[tile == k]; ly = ys[tile == k]
+            pad = cap - len(lx)
+            lxa = jnp.asarray(np.pad(lx, (0, pad)))
+            lya = jnp.asarray(np.pad(ly, (0, pad)))
+            lva = jnp.asarray(np.arange(cap) < len(lx))
+            f1 = nms.filter_corners(lxa, lya, lva, cfg)
+            lane = np.arange(cap)
+            strip_v = (lane < int(f1.count)) & \
+                (np.asarray(f1.x) >= (k + 1) * tile_w - cfg.box_size)
+            f2 = nms.filter_corners(lxa, lya, lva, cfg,
+                                    immune_x=prev_strip[0],
+                                    immune_y=prev_strip[1],
+                                    immune_valid=prev_strip[2])
+            got |= {(int(a), int(b)) for a, b in
+                    zip(np.asarray(f2.x)[:int(f2.count)],
+                        np.asarray(f2.y)[:int(f2.count)])}
+            # pass-1 right-strip decisions are final (no left-strip overlap):
+            # they are what the neighbor must see
+            prev_strip = (f1.x, f1.y, jnp.asarray(strip_v))
+        assert got == ref_set, (trial, sorted(got - ref_set),
+                                sorted(ref_set - got))

@@ -251,11 +251,65 @@ def test_grid_neighbors_3d_and_fallbacks():
     assert g is not None
     t = optics.compute_neighbors(pts, eps, min_pts)
     np.testing.assert_array_equal(np.asarray(g.count), np.asarray(t.count))
-    # dim > 3 -> grid declines, auto falls back to dense
+    # dim > 3: the projected grid is opt-in (dense wins there, measured);
+    # when enabled it must match the dense path's counts exactly
     pts6 = rng.uniform(0, 10, (100, 6))
     assert optics.compute_neighbors_grid(pts6, 2.0, 3) is None
+    g6 = optics.compute_neighbors_grid(pts6, 2.0, 3, allow_projected=True)
+    assert g6 is not None
+    t6 = optics.compute_neighbors(pts6, 2.0, 3)
+    np.testing.assert_array_equal(np.asarray(g6.count), np.asarray(t6.count))
     rd = compute_reachability_dists(pts6, 3, 2.0, method="auto")
     assert len(rd) == 100
+    # a single over-dense cell still declines (bucket > max_bucket)
+    dense_pts = np.concatenate([np.zeros((300, 2)), rng.uniform(0, 9, (9, 2))])
+    assert optics.compute_neighbors_grid(dense_pts, 3.0, 3,
+                                         max_bucket=128) is None
+    # a degenerate grid (tiny eps over a wide spread -> table >> N) declines
+    # and method="grid" surfaces it
     import pytest
+    wide = rng.uniform(0, 1, (50, 2))
+    assert optics.compute_neighbors_grid(wide, 1e-5, 3) is None
     with pytest.raises(ValueError):
-        compute_reachability_dists(pts6, 3, 2.0, method="grid")
+        compute_reachability_dists(wide, 3, 1e-5, method="grid")
+
+
+def test_cellpair_matches_grid_exactly():
+    """Zero-gather cell-pair formulation == grid path (same exact-difference
+    distance semantics): counts, core distances, and neighbor sets."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for dim in (1, 2, 3):
+        pts = uniform_cloud(2500, dim, 1000.0, seed=2)
+        eps = optics.epsilon_estimation(pts, 10)
+        g = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=256)
+        cp = optics.compute_neighbors_cellpair(pts, eps, 10, max_neighbors=256)
+        assert g is not None and cp is not None, dim
+        np.testing.assert_array_equal(np.asarray(g.count), np.asarray(cp.count))
+        np.testing.assert_allclose(np.asarray(g.core_dist),
+                                   np.asarray(cp.core_dist), rtol=1e-6)
+        gi, gd = np.asarray(g.idx), np.asarray(g.dist)
+        ci, cd = np.asarray(cp.idx), np.asarray(cp.dist)
+        for i in range(0, len(pts), 83):
+            a = {int(v) for v, t in zip(gi[i], gd[i]) if np.isfinite(t)}
+            b = {int(v) for v, t in zip(ci[i], cd[i]) if np.isfinite(t)}
+            assert a == b, (dim, i)
+
+
+def test_projected_grid_matches_dense_high_dim():
+    """d > 3 grids bucket on the first 3 coordinates only; neighbor sets must
+    still equal the dense path's (every eps-neighbor lies in the ±1
+    projected window)."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for dim in (4, 6):
+        pts = uniform_cloud(2500, dim, 1000.0, seed=3)
+        eps = optics.epsilon_estimation(pts, 10)
+        g = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=512,
+                                          allow_projected=True)
+        assert g is not None, dim
+        dense = optics.compute_neighbors(pts, eps, 10, max_neighbors=512)
+        gi, gd = np.asarray(g.idx), np.asarray(g.dist)
+        di, dd = np.asarray(dense.idx), np.asarray(dense.dist)
+        for i in range(0, len(pts), 83):
+            a = {int(v) for v, t in zip(di[i], dd[i]) if np.isfinite(t)}
+            b = {int(v) for v, t in zip(gi[i], gd[i]) if np.isfinite(t)}
+            assert a == b, (dim, i)
