@@ -120,6 +120,74 @@ def run_multiprocess(args):
             print(f"proc {i} failed (rc {p.returncode})")
 
 
+def run_corner_scaling(args):
+    """Tiled corner step (SAE slabs + halos + eFAST + TILE-LOCAL NMS) at
+    constant total work: events AND the NMS candidate budget split across
+    tiles (r2 — the replicated tail previously needed a global cap that
+    grows with the mesh, making NMS O((n_tiles*cap)^2); tile-local NMS keeps
+    it O((cap/n_tiles)^2) per tile). On the timeshared CPU mesh the wall at
+    constant total work is the overhead diagnostic (see module doc)."""
+    import time
+    import dataclasses
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={args.max_devices}").strip()
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import evflow_tpu
+    evflow_tpu.setup_cache()
+    from evflow_tpu.config import EngineConfig, SensorConfig, NMSConfig
+    from evflow_tpu.parallel import mesh as mesh_mod, tiling
+
+    navail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= min(navail, args.max_devices)]
+    rng = np.random.default_rng(0)
+    results = {}
+    for n_dev in sizes:
+        tile_w = 1280 // n_dev
+        cap_local = max(64, args.cap // n_dev)
+        cfg = EngineConfig(sensor=SensorConfig(width=tile_w * n_dev, height=720),
+                           nms=NMSConfig(max_corners=cap_local))
+        m = mesh_mod.make_tile_mesh(n_dev, cfg.parallel)
+        step = tiling.make_tiled_corner_step(m, n_dev, cfg)
+        st = tiling.init_tiled_corner_state(m, n_dev, cfg)
+        ts = mesh_mod.tile_sharding(m, cfg.parallel)
+        cap_ev = args.total // n_dev
+        evs = []
+        for s in range(args.slices):
+            x = np.zeros((n_dev, cap_ev), np.int32)
+            y = np.zeros((n_dev, cap_ev), np.int32)
+            t = np.zeros((n_dev, cap_ev), np.int32)
+            for k in range(n_dev):
+                x[k] = rng.integers(k * tile_w, (k + 1) * tile_w, cap_ev)
+                y[k] = rng.integers(0, 720, cap_ev)
+                t[k] = np.sort(rng.integers(s * 50_000 + 1,
+                                            (s + 1) * 50_000, cap_ev))
+            evs.append((jax.device_put(jnp.asarray(x), ts),
+                        jax.device_put(jnp.asarray(y), ts),
+                        jax.device_put(jnp.asarray(t), ts),
+                        jax.device_put(jnp.ones((n_dev, cap_ev), bool), ts)))
+        slab, tracks, sidx = st.slab, st.tracks, st.slice_idx
+        slab, tracks, sidx, out = step(slab, tracks, sidx, *evs[0])
+        np.asarray(out.num_corners).ravel()[:1]
+        best = float("inf")
+        for _ in range(3):
+            sl, tr, si = st.slab, st.tracks, st.slice_idx
+            t0 = time.perf_counter()
+            for s in range(args.slices):
+                sl, tr, si, out = step(sl, tr, si, *evs[s])
+            np.asarray(out.num_corners).ravel()[:1]
+            best = min(best, time.perf_counter() - t0)
+        results[n_dev] = best
+        rel = best / results[sizes[0]]
+        print(f"devices={n_dev:2d}  cap/tile={cap_local:5d}  "
+              f"{n_dev * cap_ev * args.slices / best / 1e6:7.2f} M events/s  "
+              f"wall vs 1-dev at constant total work: {rel:5.2f}x", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
@@ -129,6 +197,10 @@ def main():
                     help="total events per slice (split across tiles)")
     ap.add_argument("--multiprocess", action="store_true",
                     help="also run the 2-process jax.distributed temporal row")
+    ap.add_argument("--corner", action="store_true",
+                    help="tiled corner step (tile-local NMS) scaling rows")
+    ap.add_argument("--cap", type=int, default=2048,
+                    help="TOTAL NMS candidate budget (split across tiles)")
     ap.add_argument("--one-proc-grid", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
@@ -147,6 +219,9 @@ def main():
         return
     if args.multiprocess:
         run_multiprocess(args)
+        return
+    if args.corner:
+        run_corner_scaling(args)
         return
 
     if args.platform == "cpu":

@@ -53,6 +53,39 @@ class BGRImage:
             if e2 <= dx:
                 err += dx; y += sy
 
+    def line_antialiased(self, x0: int, y0: int, x1: int, y1: int, col) -> None:
+        """Coverage-blended segment (parity with bgr_image.hpp's
+        plot_line_segment_antialiased, :283-317): each step paints the two
+        pixels straddling the ideal line, weighted by distance — Wu-style,
+        implemented independently. Blends toward `col` over the existing
+        background."""
+        col = np.asarray(col, np.float32)
+
+        def plot(x, y, a):
+            if 0 <= x < self.width and 0 <= y < self.height:
+                bg = self.px[y, x].astype(np.float32)
+                self.px[y, x] = np.clip(bg * (1.0 - a) + col * a, 0, 255) \
+                    .astype(np.uint8)
+
+        steep = abs(y1 - y0) > abs(x1 - x0)
+        if steep:
+            x0, y0, x1, y1 = y0, x0, y1, x1
+        if x0 > x1:
+            x0, x1, y0, y1 = x1, x0, y1, y0
+        dx = x1 - x0
+        grad = (y1 - y0) / dx if dx else 0.0
+        y = float(y0)
+        for x in range(x0, x1 + 1):
+            yi = int(np.floor(y))
+            frac = y - yi
+            if steep:
+                plot(yi, x, 1.0 - frac)
+                plot(yi + 1, x, frac)
+            else:
+                plot(x, yi, 1.0 - frac)
+                plot(x, yi + 1, frac)
+            y += grad
+
     def circle(self, cx: int, cy: int, r: int, col, filled: bool = False) -> None:
         if filled:
             for y in range(cy - r, cy + r + 1):

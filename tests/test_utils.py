@@ -90,3 +90,24 @@ def test_pcd_roundtrip(tmp_path):
     back, bint = pcd.load_pcd(p)
     assert bint is None
     np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_line_antialiased():
+    """Coverage-blended line: endpoints land hard, interior pixels carry the
+    fractional coverage of the ideal line, nothing painted out of bounds."""
+    from evflow_tpu.utils.ppm import BGRImage
+    img = BGRImage(32, 32, fill=(255, 255, 255))
+    img.line_antialiased(2, 2, 28, 9, (0, 0, 0))
+    px = np.asarray(img.px, np.int32)
+    # the line darkened pixels along its path
+    darkened = np.where(px[:, :, 0] < 255)
+    assert len(darkened[0]) >= 27
+    # at every x along the span, the two straddling pixels' coverages sum to
+    # ~1 (the blend conserves intensity against a white background)
+    for x in range(3, 28):
+        colsum = (255 - px[:, x, 0]).sum()
+        assert 250 <= colsum <= 260, (x, colsum)
+    # diagonal + steep + degenerate lines stay in bounds
+    img.line_antialiased(-5, -5, 40, 40, (255, 0, 0))
+    img.line_antialiased(5, 30, 5, -3, (0, 255, 0))
+    img.line_antialiased(7, 7, 7, 7, (0, 0, 255))
