@@ -107,13 +107,18 @@ def dedup_mask(
     key, nkeys, ok = _keys(x, y, valid, cfg, sensor)
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    from .segment import scatter_min
-    winner = scatter_min(idx, key, nkeys + 1, jnp.int32(2**31 - 1))
-    unique_mask = ok & (winner[key] == idx)
-    unique_count = jnp.sum(unique_mask.astype(jnp.int32))
-
-    occ = jax.ops.segment_sum(jnp.ones_like(idx), key, num_segments=nkeys + 1)
-    repeated_count = jnp.sum((occ[:nkeys] >= 2).astype(jnp.int32))
+    # Sort-based first-occupant (r2): sorting (key, lane) puts each bucket's
+    # lowest lane first, so run starts ARE the scatter-min winners — one sort
+    # + one permutation scatter instead of scatter-min + gather + segment_sum
+    # (bit-identical; 0.94 vs 1.34 ms/slice measured, benchmarks/prof_dedup).
+    sk, sl = jax.lax.sort((key, idx), num_keys=2)
+    first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]]) \
+        & (sk < nkeys)                  # key == nkeys marks invalid lanes
+    unique_mask = jnp.zeros((n,), bool).at[sl].set(first)
+    unique_count = jnp.sum(first.astype(jnp.int32))
+    # buckets hit >= twice: a run start whose successor shares the key
+    run2 = first & jnp.concatenate([sk[1:] == sk[:-1], jnp.array([False])])
+    repeated_count = jnp.sum(run2.astype(jnp.int32))
     return DedupMask(unique_mask, unique_count, repeated_count)
 
 
