@@ -272,9 +272,11 @@ def update_slice(state: AEState, x, y, t, p, valid,
     alpha = cfg.alpha
 
     def step(st, ev):
-        (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+        (alive, corder, cid, mu, ring,
          next_order, next_cid, event_id, last_updated, overflow) = st
         xi, yi, ti, pi, vi, tmini = ev
+        mt = ring[2]
+        mcid = ring[4]
 
         # (M, C) membership panel; live = not yet expired by the window
         eq_all = mcid[:, None] == cids[None, :]
@@ -289,7 +291,7 @@ def update_slice(state: AEState, x, y, t, p, valid,
         if cfg.kappa == 0:
             assigned = near   # deployed default: sampling branch never matches
         else:
-            d = (jnp.abs(mx - xi) + jnp.abs(my - yi)).astype(jnp.float32)
+            d = (jnp.abs(ring[0] - xi) + jnp.abs(ring[1] - yi)).astype(jnp.float32)
             d = jnp.where(live_m, d, _INF)
             dmin_c = jnp.min(jnp.where(eq_all & live_m[:, None],
                                        d[:, None], _INF), axis=0)
@@ -308,12 +310,14 @@ def update_slice(state: AEState, x, y, t, p, valid,
         target = jnp.where(any_assigned, target_assigned, free_slot)
         do_add = vi & (any_assigned | make_new)
 
+        # one masked row write for all five member fields (ring is (5, M))
         slot = event_id % m
-        mx = mx.at[slot].set(jnp.where(do_add, xi, mx[slot]))
-        my = my.at[slot].set(jnp.where(do_add, yi, my[slot]))
-        mt = mt.at[slot].set(jnp.where(do_add, ti, mt[slot]))
-        mp = mp.at[slot].set(jnp.where(do_add, pi, mp[slot]))
-        mcid = mcid.at[slot].set(jnp.where(do_add, target, mcid[slot]))
+        newcol = jnp.stack([xi, yi, ti, pi, target])
+        ring = jax.lax.dynamic_update_slice(
+            ring, jnp.where(do_add, newcol,
+                            jax.lax.dynamic_slice(ring, (0, slot),
+                                                  (5, 1))[:, 0])[:, None],
+            (0, slot))
         event_id = event_id + jnp.where(do_add, 1, 0)
 
         is_first = jnp.where(any_assigned, n_c[target] == 0, True)
@@ -329,17 +333,20 @@ def update_slice(state: AEState, x, y, t, p, valid,
         next_order = next_order + jnp.where(make_new, 1, 0)
         next_cid = next_cid + jnp.where(make_new, 1, 0)
 
-        # merge (>= 2 assigned): weighted mu, members to target, others die
+        # merge (>= 2 assigned): weighted mu, members to target, others die.
+        # (A lax.cond around this block runs 396 vs 464 ms/slice but blows
+        # the XLA compile from ~3 s to ~13 min — not worth it; measured.)
         do_merge = vi & (n_assigned >= 2)
+        mcid_post = ring[4]
         n_post = n_c + (cids == target).astype(jnp.int32)
         wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
         merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
                      / jnp.maximum(jnp.sum(wgt), 1.0))
-        mu = jnp.where(do_merge,
-                       mu.at[target].set(merged_mu), mu)
-        member_in_assigned = (mcid >= 0) & jnp.any(
+        mu = jnp.where(do_merge, mu.at[target].set(merged_mu), mu)
+        member_in_assigned = (mcid_post >= 0) & jnp.any(
             eq_all & assigned[None, :], axis=1)
-        mcid = jnp.where(do_merge & member_in_assigned, target, mcid)
+        ring = ring.at[4].set(jnp.where(do_merge & member_in_assigned,
+                                        target, mcid_post))
         kill_merge = assigned & (cids != target)
         alive = jnp.where(do_merge & kill_merge, False, alive)
 
@@ -349,16 +356,17 @@ def update_slice(state: AEState, x, y, t, p, valid,
 
         last_updated = jnp.where(vi, jnp.where(do_add, target, -1),
                                  last_updated)
-        return (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+        return (alive, corder, cid, mu, ring,
                 next_order, next_cid, event_id, last_updated, overflow), None
 
-    carry0 = (state.alive, state.corder, state.cid, state.mu,
-              state.mx, state.my, state.mt, state.mp, state.mcid,
+    ring0 = jnp.stack([state.mx, state.my, state.mt, state.mp, state.mcid])
+    carry0 = (state.alive, state.corder, state.cid, state.mu, ring0,
               state.next_order, state.next_cid, state.event_id,
               state.last_updated, state.overflow)
     carry, _ = jax.lax.scan(step, carry0, (x, y, tr, p, valid, tmin))
-    (alive, corder, cid, mu, mx, my, mt, mp, mcid,
+    (alive, corder, cid, mu, ring,
      next_order, next_cid, event_id, last_updated, overflow) = carry
+    mx, my, mt, mp, mcid = ring
     # normalize lazily-forgotten members so the state matches update_event's
     # eager form bit-for-bit (oracle tests compare memberships via mcid)
     final_tmin = tmin[jnp.where(has_any, n - 1 - jnp.argmax(jnp.flip(valid)),
