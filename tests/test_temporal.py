@@ -225,3 +225,69 @@ def test_temporal_two_process_distributed():
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"proc {i}: {err[-4000:]}"
         assert f"proc {i}: two-process temporal ok" in out, out
+
+
+def test_schur_fusion_recovers_curved_trajectory():
+    """Pure-math check of the Schur-style joint refinement: synthetic
+    normal-equation blocks from a QUADRATIC trajectory observed across 3
+    windows (0.5 px noise) must chain into one track whose refined boundary
+    positions match ground truth — including the curvature the per-window
+    interior parameter absorbs before elimination."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from evflow_tpu.config import EngineConfig, TrackerConfig
+    from evflow_tpu.parallel import temporal
+
+    cfg = EngineConfig(tracker=TrackerConfig(max_tracks=8))
+    w, t, s = 3, 8, 10
+
+    def traj(tg):
+        u = tg / (w * s)
+        return np.array([100.0 + 60.0 * u + 25.0 * u * u,
+                         50.0 - 30.0 * u + 10.0 * u * u])
+
+    rng = np.random.default_rng(0)
+    d = {
+        "label": np.full((w, t), -1, np.int32),
+        "nobs": np.zeros((w, t), np.int32),
+        "u_first": np.zeros((w, t), np.float32),
+        "u_last": np.zeros((w, t), np.float32),
+        "pos_first": np.zeros((w, t, 2), np.float32),
+        "pos_last": np.zeros((w, t, 2), np.float32),
+        "vel_first": np.zeros((w, t, 2), np.float32),
+        "vel_last": np.zeros((w, t, 2), np.float32),
+        "H": np.zeros((w, t, 3, 3), np.float32),
+        "g": np.zeros((w, t, 3, 2), np.float32),
+    }
+    slot = 2
+    for wi in range(w):
+        d["label"][wi, slot] = 7
+        for si in range(s):
+            u = (si + 1) / s
+            tg = wi * s + si + 1
+            pos = traj(tg) + rng.normal(0, 0.5, 2)
+            vel = traj(tg) - traj(tg - 1)
+            phi = np.array([1 - u, u, 4 * u * (1 - u)], np.float32)
+            d["H"][wi, slot] += np.outer(phi, phi)
+            d["g"][wi, slot] += phi[:, None] * pos[None, :]
+            if d["nobs"][wi, slot] == 0:
+                d["u_first"][wi, slot] = u
+                d["pos_first"][wi, slot] = pos
+                d["vel_first"][wi, slot] = vel
+            d["nobs"][wi, slot] += 1
+            d["u_last"][wi, slot] = u
+            d["pos_last"][wi, slot] = pos
+            d["vel_last"][wi, slot] = vel
+    blocks = temporal.TrackletBlocks(
+        **{k: jnp.asarray(v) for k, v in d.items()})
+
+    r = jax.device_get(temporal.fuse_tracklets(blocks, s, cfg))
+    valid = np.where(np.asarray(r.valid))[0]
+    assert len(valid) == 1 and int(r.n_windows[valid[0]]) == w
+    k = valid[0]
+    assert np.asarray(r.boundary_ok[k]).all()
+    assert int(r.n_obs[k]) == w * s
+    for j in range(w + 1):
+        err = np.linalg.norm(np.asarray(r.boundary_pos[k, j]) - traj(j * s))
+        assert err < 1.5, (j, err)
