@@ -250,6 +250,48 @@ def cmd_dbscan(args):
                     f.write(",".join(f"{v}" for v in row) + f",{l}\n")
 
 
+def cmd_temporal(args):
+    """Spatio-temporal distributed run: time windows over the mesh data axis,
+    spatial tiles over the tile axis; per-slice cluster+corner outputs plus
+    the Schur-refined cross-window track chains (parallel/temporal.py).
+    Single-process it uses however many local devices form the grid; under
+    jax.distributed the data axis crosses hosts."""
+    import jax
+    from .config import DEFAULT
+    from .io.slicing import slice_by_count
+    from .parallel import mesh as mesh_mod, temporal
+    cfg = DEFAULT
+    n_windows, n_tiles = args.windows, args.tiles
+    ndev = len(jax.devices())
+    if n_windows * n_tiles > ndev:
+        sys.exit(f"error: grid ({n_windows}x{n_tiles}) needs "
+                 f"{n_windows * n_tiles} devices, have {ndev} (hint: set "
+                 f"XLA_FLAGS=--xla_force_host_platform_device_count=N with "
+                 f"--backend cpu)")
+    stream = _load(args)
+    slices = slice_by_count(stream, cfg.slicing.n_events)
+    grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, cfg.parallel)
+    out = jax.device_get(temporal.run_temporal(
+        slices, grid, n_windows, n_tiles, args.warmup, cfg))
+    n_emit = out.num_corners.shape[1]
+    for w in range(n_windows):
+        for s in range(n_emit):
+            rep = np.asarray(out.cl_reported[w, s])
+            print(f"window {w} slice {s}: clusters={int(rep.sum())} "
+                  f"corners={int(out.num_corners[w, s])} "
+                  f"tracks={int(np.asarray(out.track_active[w, s]).sum())}")
+    r = out.refined
+    valid = np.where(np.asarray(r.valid))[0]
+    print(f"refined track chains: {len(valid)}")
+    for k in valid:
+        bp = np.asarray(r.boundary_pos[k])
+        ok = np.asarray(r.boundary_ok[k])
+        pts = " -> ".join(f"({bp[j][0]:.1f},{bp[j][1]:.1f})"
+                          for j in range(len(ok)) if ok[j])
+        print(f"  chain {int(k)}: windows={int(r.n_windows[k])} "
+              f"obs={int(r.n_obs[k])} boundary {pts}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="evflow_tpu.run")
     ap.add_argument("--backend", choices=("auto", "cpu", "tpu"), default="auto",
@@ -301,6 +343,13 @@ def main(argv=None):
                    help="voxel-grid leaf size for .pcd inputs (reference: 0.01)")
     p.add_argument("--remove-plane", action="store_true")
     p.add_argument("--plane-threshold", type=float, default=0.02)
+    p = add("temporal", cmd_temporal)
+    p.add_argument("--windows", type=int, default=2,
+                   help="time windows (data-axis shards)")
+    p.add_argument("--tiles", type=int, default=4,
+                   help="spatial tiles (tile-axis shards)")
+    p.add_argument("--warmup", type=int, default=8,
+                   help="overlap slices consumed from the previous window")
 
     args = ap.parse_args(argv)
     if args.backend != "auto":

@@ -291,3 +291,22 @@ def test_schur_fusion_recovers_curved_trajectory():
     for j in range(w + 1):
         err = np.linalg.norm(np.asarray(r.boundary_pos[k, j]) - traj(j * s))
         assert err < 1.5, (j, err)
+
+
+@pytest.mark.slow
+def test_temporal_cli():
+    """`run.py temporal` drives the grid-mesh pipeline end-to-end from the
+    user surface and prints per-window stats + refined chains."""
+    code = """
+import numpy as np
+from evflow_tpu.io.events import save_csv
+stream, apex, blob = scene(num_slices=8)
+save_csv(stream, '/tmp/_temporal_cli.csv')
+from evflow_tpu.run import main
+main(['temporal', '--input', '/tmp/_temporal_cli.csv',
+      '--windows', '2', '--tiles', '4', '--warmup', '2'])
+"""
+    r = _run_cpu8(code)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "refined track chains:" in r.stdout
+    assert "window 1 slice" in r.stdout
