@@ -90,3 +90,29 @@ def full(cst, x, y, v):
 
 
 bench("dedup+full update_slice", full, st0)
+
+
+def assign_v2(cst, x, y, v):
+    # per-coordinate (N, C) panels: the (N, C, 2) form's trailing dim of 2
+    # wastes 126/128 VPU lanes
+    xf = x.astype(jnp.float32); yf = y.astype(jnp.float32)
+    d = jnp.abs(xf[:, None] - mu0[None, :, 0]) \
+        + jnp.abs(yf[:, None] - mu0[None, :, 1])
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return cst, jnp.sum(best)
+
+
+bench("assignment v2 (N,C)x2", assign_v2, 0)
+
+
+def assign_v3(cst, x, y, v):
+    # v2 + min/argmin in one combined pass via argmin only + take
+    xf = x.astype(jnp.float32); yf = y.astype(jnp.float32)
+    d = jnp.abs(xf[:, None] - mu0[None, :, 0]) \
+        + jnp.abs(yf[:, None] - mu0[None, :, 1])
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best_d = jnp.min(d, axis=1)
+    return cst, (jnp.sum(best), jnp.sum(best_d))
+
+
+bench("assignment v3 +min", assign_v3, 0)
