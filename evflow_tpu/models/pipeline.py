@@ -185,6 +185,11 @@ class CornerTrackOutput(NamedTuple):
     track_vel: jnp.ndarray       # float32 (T, 2)
     track_group: jnp.ndarray     # int32 (T,)
     groups: tracker_mod.GroupView
+    # Overflow signal: representative pixels beyond cfg.efast.max_candidates
+    # are dropped in stream order; nonzero here means the slice-sync detector
+    # skipped that many touched pixels this slice (never silent truncation).
+    num_dropped: jnp.ndarray = np.int32(0)  # int32 () (np: module-level jnp
+    #                                         would init the backend at import)
 
 
 def init_corner_state(cfg: EngineConfig = DEFAULT) -> CornerTrackState:
@@ -196,7 +201,7 @@ def init_corner_state(cfg: EngineConfig = DEFAULT) -> CornerTrackState:
 
 
 def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
-                       cfg: EngineConfig):
+                       cfg: EngineConfig, n_dropped=np.int32(0)):
     """Shared tail of the corner pipeline: compact the detected corners in
     stream order to the NMS capacity, suppress, and advance the tracker."""
     n_corners = jnp.sum(corner_mask.astype(jnp.int32))
@@ -221,7 +226,8 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
         num_corners=n_corners, num_filtered=filt.count,
         track_active=tracks.active, track_label=tracks.label,
         track_pos=tracks.pos, track_vel=tracks.velocity,
-        track_group=tracks.group_id, groups=groups)
+        track_group=tracks.group_id, groups=groups,
+        num_dropped=jnp.int32(n_dropped))
     return CornerTrackState(sae=new_sae, tracks=tracks,
                             slice_idx=state.slice_idx + 1), out
 
@@ -257,6 +263,21 @@ def corner_track_step(
     m = cfg.efast.max_candidates
     if m and m < x.shape[0]:
         rep = valid & (new_sae[y, x] == t)       # newest event per pixel
+        # Equal-timestamp tie-break: same-pixel events in the same microsecond
+        # (e.g. opposite polarities) all satisfy sae==t; keep only the LAST
+        # lane so duplicates don't erode the candidate budget. A full-res
+        # last-lane plane would cost a second (H, W) scatter, so lane indices
+        # go into the dedup-sized hash table instead — on a bucket collision
+        # between distinct pixels both lanes stay rep (the pre-fix behavior,
+        # still NMS-deduped at distance 0); never a false drop.
+        nb = cfg.dedup.num_buckets
+        lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
+        hkey = (x * cfg.dedup.hash_mul_x + y * cfg.dedup.hash_mul_y) % nb
+        last = jnp.full((nb,), -1, jnp.int32).at[
+            jnp.where(rep, hkey, nb)].max(lanes, mode="drop")
+        bl = jnp.maximum(last[hkey], 0)
+        rep = rep & ((bl == lanes) | (x[bl] != x) | (y[bl] != y))
+        n_rep = jnp.sum(rep.astype(jnp.int32))
         pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
         keep = rep & (pos < m)
         spos = jnp.where(keep, pos, m)
@@ -264,11 +285,12 @@ def corner_track_step(
             jnp.where(keep, x, 0), mode="drop")[:m]
         cy = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
             jnp.where(keep, y, 0), mode="drop")[:m]
-        cvalid = jnp.arange(m) < jnp.minimum(jnp.sum(rep.astype(jnp.int32)), m)
+        cvalid = jnp.arange(m) < jnp.minimum(n_rep, m)
         corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
                                            cfg.efast, cfg.sensor)
         corner_mask = corner_mask & (state.slice_idx > 0)
-        return _corners_to_tracks(corner_mask, cx, cy, state, new_sae, cfg)
+        return _corners_to_tracks(corner_mask, cx, cy, state, new_sae, cfg,
+                                  n_dropped=jnp.maximum(n_rep - m, 0))
     corner_mask = efast.detect_corners(new_sae, x, y, valid, cfg.efast, cfg.sensor)
     corner_mask = corner_mask & (state.slice_idx > 0)
     return _corners_to_tracks(corner_mask, x, y, state, new_sae, cfg)

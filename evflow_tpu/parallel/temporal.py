@@ -21,16 +21,24 @@ compact corner lists) for the corner path.
 
 Sequential state across window boundaries is handled in two stages:
 
-1. **Warm-up overlap.** Every engine state has bounded temporal memory by
-   construction: the cluster membership window is a ring of R slices, the
-   EWMA mean forgets at (1-alpha) per member event (alpha=0.5 → < 1 fp32 ulp
-   after ~24 events), and the tracker keeps a 10-deep history / prunes after
-   `frames_to_skip` missed frames. Window w therefore ALSO consumes the last
-   `warmup` slices of window w-1 (outputs discarded) so its state at the
-   boundary has converged to the sequential state up to id counters.
-   (Counter-visible differences — cluster cids, track labels, frame_count
-   ages — are reconciled in stage 2 / bounded by max_frames; see
-   tests/test_temporal.py.)
+1. **Warm-up overlap.** Nearly every engine state has bounded temporal
+   memory by construction: the cluster membership window is a ring of R
+   slices, the EWMA mean forgets at (1-alpha) per member event (alpha=0.5 →
+   < 1 fp32 ulp after ~24 events), and the tracker keeps a 10-deep history /
+   prunes after `frames_to_skip` missed frames. Window w therefore ALSO
+   consumes the last `warmup` slices of window w-1 (outputs discarded) so
+   its state at the boundary has converged to the sequential state up to id
+   counters. (Counter-visible differences — cluster cids, track labels,
+   frame_count ages — are reconciled in stage 2 / bounded by max_frames; see
+   tests/test_temporal.py.) EXCEPTION: the SAE time surface itself persists
+   indefinitely in the sequential pipeline — a pixel last touched before a
+   window's warm-up holds 0 in that window's slab, so eFAST ring ORDERING
+   near window starts can deviate where stale (pre-warm-up) timestamps
+   would have out-ranked fresh ones. In practice eFAST streak tests compare
+   only against the newest slice's writes (stale pixels lose either way);
+   the residual deviation is bounded empirically by tests/test_temporal.py.
+   Raising `warmup` tightens it (each warm-up slice refreshes the live
+   pixels that matter to detection).
 
 2. **Schur-style block reduction for joint track refinement.** Inside the
    window scan, every track slot accumulates the normal equations of a
@@ -539,6 +547,22 @@ def run_temporal(slices: EventSlices, mesh: Mesh, n_windows: int,
         # each process holds the full host arrays; slice out its shard rows
         didx = sorted({mesh.devices.flat[i].process_index
                        for i in range(mesh.devices.size)})
+        if n_windows % jax.process_count() != 0:
+            raise ValueError(
+                f"n_windows={n_windows} must divide evenly over "
+                f"{jax.process_count()} processes")
+        # the window slice below assumes data-axis rows map to processes
+        # contiguously in sorted process-index order — verify on the mesh
+        d_ax = mesh.axis_names.index(cfg.parallel.data_axis)
+        rows = np.moveaxis(mesh.devices, d_ax, 0).reshape(
+            mesh.shape[cfg.parallel.data_axis], -1)
+        row_proc = [{d.process_index for d in r} for r in rows]
+        if any(len(s) != 1 for s in row_proc) or \
+                [next(iter(s)) for s in row_proc] != sorted(
+                    next(iter(s)) for s in row_proc):
+            raise ValueError(
+                "mesh data-axis rows must each belong to one process and be "
+                f"ordered by process index; got {row_proc}")
         nw_local = n_windows // jax.process_count()
         w0 = didx.index(jax.process_index()) * nw_local
         sel = slice(w0, w0 + nw_local)

@@ -162,3 +162,42 @@ def test_candidate_compaction_preserves_nms_output():
             np.asarray(ob.track_pos)[np.asarray(ob.track_active)], atol=1e-5)
         cx += 6
     assert saw > 0
+
+
+def test_candidate_overflow_signal_and_tie_break():
+    """ADVICE r2: (a) rep-pixel overflow beyond max_candidates is surfaced in
+    num_dropped, not silent; (b) equal-timestamp same-pixel duplicates do not
+    erode the candidate budget (only the last lane stays representative)."""
+    from evflow_tpu.config import EFastConfig
+    cfg = EngineConfig(
+        sensor=SensorConfig(width=W, height=H),
+        efast=EFastConfig(max_candidates=8),
+        nms=NMSConfig(max_corners=16),
+        tracker=TrackerConfig(max_tracks=16),
+    )
+    n = 64
+    # 12 unique pixels; each pixel gets duplicate events at the SAME t
+    # (opposite-polarity analog) — rep must count each pixel once, so
+    # dropped = 12 - 8 = 4 regardless of duplication.
+    px = np.arange(12, dtype=np.int32) * 5 + 20
+    x = np.zeros(n, np.int32); y = np.zeros(n, np.int32)
+    t = np.zeros(n, np.int32); v = np.zeros(n, bool)
+    for i in range(24):  # two lanes per pixel, equal t
+        x[i] = px[i // 2]; y[i] = 40; t[i] = 100 + (i // 2); v[i] = True
+    state = pipeline.init_corner_state(cfg)
+    state, out = pipeline.corner_track_step(
+        state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(t),
+        jnp.asarray(v), cfg)
+    assert int(out.num_dropped) == 4, int(out.num_dropped)
+
+    # no duplicates, under budget: nothing dropped
+    state2 = pipeline.init_corner_state(cfg)
+    v2 = v.copy(); v2[1::2] = False   # keep one lane per pixel, 12 > 8 still
+    _, out2 = pipeline.corner_track_step(
+        state2, jnp.asarray(x), jnp.asarray(y), jnp.asarray(t),
+        jnp.asarray(v2), cfg)
+    assert int(out2.num_dropped) == 4
+    _, out3 = pipeline.corner_track_step(
+        pipeline.init_corner_state(cfg), jnp.asarray(x[:16]),
+        jnp.asarray(y[:16]), jnp.asarray(t[:16]), jnp.asarray(v[:16]), cfg)
+    assert int(out3.num_dropped) == 0
