@@ -29,27 +29,42 @@ ps = jnp.zeros((S, N), jnp.int32)
 vs = jnp.ones((S, N), bool)
 
 
-@jax.jit
-def run(state, xs, ys, ts, ps, vs):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def run(state, xs, ys, ts, ps, vs, block=0):
     def step(st, ev):
         x, y, t, p, v = ev
+        if block:
+            return ae.update_slice_blocked(st, x, y, t, p, v, cfg, block), None
         return ae.update_slice(st, x, y, t, p, v, cfg), None
     st, _ = jax.lax.scan(step, state, (xs, ys, ts, ps, vs))
     return st
 
 
-state = ae.init_state(cfg)
-t0 = time.perf_counter()
-out = run(state, xs, ys, ts, ps, vs)
-jax.block_until_ready(out)
-print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
-np.asarray(out.event_id).ravel()[:1]
+def measure(label, block=0, reps=3):
+    state = ae.init_state(cfg)
+    t0 = time.perf_counter()
+    out = run(state, xs, ys, ts, ps, vs, block)
+    jax.block_until_ready(out)
+    print(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    np.asarray(out.event_id).ravel()[:1]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(state, xs, ys, ts, ps, vs, block)
+    np.asarray(out.event_id).ravel()[:1]
+    dt = (time.perf_counter() - t0) / reps / S
+    print(f"[{label}] per-slice {dt*1e3:.1f} ms  ({N/dt/1e3:.1f}k events/s)  "
+          f"live clusters {int(jnp.sum(out.alive))}", flush=True)
+    return out
 
-reps = 3
-t0 = time.perf_counter()
-for _ in range(reps):
-    out = run(state, xs, ys, ts, ps, vs)
-np.asarray(out.event_id).ravel()[:1]
-dt = (time.perf_counter() - t0) / reps / S
-print(f"per-slice {dt*1e3:.1f} ms  ({N/dt/1e3:.1f}k events/s)  "
-      f"live clusters {int(jnp.sum(out.alive))}", flush=True)
+
+base = measure("per-event")
+for b in (8, 16, 32, 64):
+    out = measure(f"blocked-{b}", block=b)
+    same = all(np.array_equal(np.asarray(getattr(base, f)),
+                              np.asarray(getattr(out, f)))
+               for f in base._fields)
+    print(f"[blocked-{b}] bit-equal to per-event: {same}", flush=True)

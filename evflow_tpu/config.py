@@ -90,6 +90,10 @@ class ClusterConfig:
     min_n: int = 5               # minimum membership for reporting
     max_clusters: int = 128      # fixed capacity (TPU-side; clusters are masked)
     max_members: int = 1024      # fixed capacity for the member ring buffer
+    # Exact engine: events per lax.scan step (bit-equal blocked execution,
+    # aeclustering.update_slice_blocked). 0 = per-event scan. TPU-impl knob;
+    # requires kappa == 0 (the deployed default), else ignored.
+    exact_block: int = 16
 
     @staticmethod
     def async_app() -> "ClusterConfig":

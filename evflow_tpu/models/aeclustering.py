@@ -211,30 +211,10 @@ def update_event(state: AEState, x, y, t_raw, p,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def update_slice(state: AEState, x, y, t, p, valid,
-                 cfg: ClusterConfig = ClusterConfig()) -> AEState:
-    """scan the per-event update over one slice (masked lanes are no-ops).
-
-    Bit-equal to scanning `update_event`, restructured for TPU scan-step
-    cost (~5.4x measured, BASELINE.md):
-      - the sliding-window tMin of every event depends only on push TIMES,
-        never on cluster state, so it is precomputed for the whole slice
-        OUTSIDE the scan (deque ops leave the loop; tbuf updates collapse to
-        one slice-end scatter);
-      - forget is LAZY: a member is live iff mt >= tMin. tMin is monotone,
-        so expired members never resurrect; explicit per-event ring rewrites
-        (and the dead-cluster member sweep) are redundant — a dead slot's
-        members are always either expired or merge-reassigned to the
-        surviving target;
-      - per-cluster stats ride an (M, C) equality panel (VPU compare+reduce)
-        instead of scatter reductions (scatters are the slow primitive on
-        this backend, CLAUDE.md rule 5);
-      - invalid lanes gate each write instead of a whole-state `where`.
-    """
+def _slice_prep(state: AEState, x, y, t, p, valid, cfg: ClusterConfig):
+    """Shared pre-scan work: relative times, per-lane precomputed tMin, and
+    the slice-end push-buffer update (see update_slice docstring)."""
     w = cfg.sz_buffer
-    c = cfg.max_clusters
-    m = cfg.max_members
     n = x.shape[0]
     x = x.astype(jnp.int32)
     y = y.astype(jnp.int32)
@@ -267,103 +247,115 @@ def update_slice(state: AEState, x, y, t, p, valid,
     tbuf = state.tbuf.at[jnp.where(final_writer, gidx % w, w)].set(
         jnp.where(final_writer, tr, 0), mode="drop")
     thead = state.thead + n_push
+    return x, y, tr, p, t0, has_any, tmin, tbuf, thead
 
-    cids = jnp.arange(c, dtype=jnp.int32)
+
+def _event_body(st, ev, cfg: ClusterConfig):
+    """One per-event update on the scan carry — the bit-parity core shared by
+    update_slice (per-event scan) and update_slice_blocked (hazard fallback)."""
+    c = cfg.max_clusters
+    m = cfg.max_members
     alpha = cfg.alpha
+    cids = jnp.arange(c, dtype=jnp.int32)
+    (alive, corder, cid, mu, ring,
+     next_order, next_cid, event_id, last_updated, overflow) = st
+    xi, yi, ti, pi, vi, tmini = ev
+    mt = ring[2]
+    mcid = ring[4]
 
-    def step(st, ev):
-        (alive, corder, cid, mu, ring,
-         next_order, next_cid, event_id, last_updated, overflow) = st
-        xi, yi, ti, pi, vi, tmini = ev
-        mt = ring[2]
-        mcid = ring[4]
+    # (M, C) membership panel; live = not yet expired by the window
+    eq_all = mcid[:, None] == cids[None, :]
+    live_m = (mcid >= 0) & (mt >= tmini)
+    n_c = jnp.sum(eq_all & live_m[:, None], axis=0).astype(jnp.int32)
+    empty = alive & (n_c == 0)
+    live = alive & (n_c > 0)
 
-        # (M, C) membership panel; live = not yet expired by the window
-        eq_all = mcid[:, None] == cids[None, :]
-        live_m = (mcid >= 0) & (mt >= tmini)
-        n_c = jnp.sum(eq_all & live_m[:, None], axis=0).astype(jnp.int32)
-        empty = alive & (n_c == 0)
-        live = alive & (n_c > 0)
+    pix = jnp.stack([xi, yi]).astype(jnp.float32)
+    dist_mu = jnp.abs(pix[0] - mu[:, 0]) + jnp.abs(pix[1] - mu[:, 1])
+    near = live & (dist_mu <= cfg.radius)
+    if cfg.kappa == 0:
+        assigned = near   # deployed default: sampling branch never matches
+    else:
+        d = (jnp.abs(ring[0] - xi) + jnp.abs(ring[1] - yi)).astype(jnp.float32)
+        d = jnp.where(live_m, d, _INF)
+        dmin_c = jnp.min(jnp.where(eq_all & live_m[:, None],
+                                   d[:, None], _INF), axis=0)
+        samp = live & ~near & (n_c > cfg.min_n) & (dmin_c <= cfg.radius)
+        assigned = near | samp
+    n_assigned = jnp.sum(assigned.astype(jnp.int32))
+    any_assigned = n_assigned > 0
 
-        pix = jnp.stack([xi, yi]).astype(jnp.float32)
-        dist_mu = jnp.abs(pix[0] - mu[:, 0]) + jnp.abs(pix[1] - mu[:, 1])
-        near = live & (dist_mu <= cfg.radius)
-        if cfg.kappa == 0:
-            assigned = near   # deployed default: sampling branch never matches
-        else:
-            d = (jnp.abs(ring[0] - xi) + jnp.abs(ring[1] - yi)).astype(jnp.float32)
-            d = jnp.where(live_m, d, _INF)
-            dmin_c = jnp.min(jnp.where(eq_all & live_m[:, None],
-                                       d[:, None], _INF), axis=0)
-            samp = live & ~near & (n_c > cfg.min_n) & (dmin_c <= cfg.radius)
-            assigned = near | samp
-        n_assigned = jnp.sum(assigned.astype(jnp.int32))
-        any_assigned = n_assigned > 0
+    order_key = jnp.where(assigned, corder, _BIG)
+    target_assigned = jnp.argmin(order_key).astype(jnp.int32)
+    free = ~alive
+    free_slot = jnp.argmax(free).astype(jnp.int32)
+    have_free = jnp.any(free)
+    make_new = vi & ~any_assigned & have_free
+    overflow = overflow + jnp.where(vi & ~any_assigned & ~have_free, 1, 0)
+    target = jnp.where(any_assigned, target_assigned, free_slot)
+    do_add = vi & (any_assigned | make_new)
 
-        order_key = jnp.where(assigned, corder, _BIG)
-        target_assigned = jnp.argmin(order_key).astype(jnp.int32)
-        free = ~alive
-        free_slot = jnp.argmax(free).astype(jnp.int32)
-        have_free = jnp.any(free)
-        make_new = vi & ~any_assigned & have_free
-        overflow = overflow + jnp.where(vi & ~any_assigned & ~have_free, 1, 0)
-        target = jnp.where(any_assigned, target_assigned, free_slot)
-        do_add = vi & (any_assigned | make_new)
+    # one masked row write for all five member fields (ring is (5, M))
+    slot = event_id % m
+    newcol = jnp.stack([xi, yi, ti, pi, target])
+    ring = jax.lax.dynamic_update_slice(
+        ring, jnp.where(do_add, newcol,
+                        jax.lax.dynamic_slice(ring, (0, slot),
+                                              (5, 1))[:, 0])[:, None],
+        (0, slot))
+    event_id = event_id + jnp.where(do_add, 1, 0)
 
-        # one masked row write for all five member fields (ring is (5, M))
-        slot = event_id % m
-        newcol = jnp.stack([xi, yi, ti, pi, target])
-        ring = jax.lax.dynamic_update_slice(
-            ring, jnp.where(do_add, newcol,
-                            jax.lax.dynamic_slice(ring, (0, slot),
-                                                  (5, 1))[:, 0])[:, None],
-            (0, slot))
-        event_id = event_id + jnp.where(do_add, 1, 0)
+    is_first = jnp.where(any_assigned, n_c[target] == 0, True)
+    new_mu_t = jnp.where(is_first, pix,
+                         (1.0 - alpha) * mu[target] + alpha * pix)
+    mu = mu.at[target].set(jnp.where(do_add, new_mu_t, mu[target]))
+    alive = alive.at[free_slot].set(
+        jnp.where(make_new, True, alive[free_slot]))
+    corder = corder.at[free_slot].set(
+        jnp.where(make_new, next_order, corder[free_slot]))
+    cid = cid.at[free_slot].set(
+        jnp.where(make_new, next_cid, cid[free_slot]))
+    next_order = next_order + jnp.where(make_new, 1, 0)
+    next_cid = next_cid + jnp.where(make_new, 1, 0)
 
-        is_first = jnp.where(any_assigned, n_c[target] == 0, True)
-        new_mu_t = jnp.where(is_first, pix,
-                             (1.0 - alpha) * mu[target] + alpha * pix)
-        mu = mu.at[target].set(jnp.where(do_add, new_mu_t, mu[target]))
-        alive = alive.at[free_slot].set(
-            jnp.where(make_new, True, alive[free_slot]))
-        corder = corder.at[free_slot].set(
-            jnp.where(make_new, next_order, corder[free_slot]))
-        cid = cid.at[free_slot].set(
-            jnp.where(make_new, next_cid, cid[free_slot]))
-        next_order = next_order + jnp.where(make_new, 1, 0)
-        next_cid = next_cid + jnp.where(make_new, 1, 0)
+    # merge (>= 2 assigned): weighted mu, members to target, others die.
+    # (A lax.cond around this block runs 396 vs 464 ms/slice but blows
+    # the XLA compile from ~3 s to ~13 min — not worth it; measured.)
+    do_merge = vi & (n_assigned >= 2)
+    mcid_post = ring[4]
+    n_post = n_c + (cids == target).astype(jnp.int32)
+    wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
+    merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
+                 / jnp.maximum(jnp.sum(wgt), 1.0))
+    mu = jnp.where(do_merge, mu.at[target].set(merged_mu), mu)
+    member_in_assigned = (mcid_post >= 0) & jnp.any(
+        eq_all & assigned[None, :], axis=1)
+    ring = ring.at[4].set(jnp.where(do_merge & member_in_assigned,
+                                    target, mcid_post))
+    kill_merge = assigned & (cids != target)
+    alive = jnp.where(do_merge & kill_merge, False, alive)
 
-        # merge (>= 2 assigned): weighted mu, members to target, others die.
-        # (A lax.cond around this block runs 396 vs 464 ms/slice but blows
-        # the XLA compile from ~3 s to ~13 min — not worth it; measured.)
-        do_merge = vi & (n_assigned >= 2)
-        mcid_post = ring[4]
-        n_post = n_c + (cids == target).astype(jnp.int32)
-        wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
-        merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
-                     / jnp.maximum(jnp.sum(wgt), 1.0))
-        mu = jnp.where(do_merge, mu.at[target].set(merged_mu), mu)
-        member_in_assigned = (mcid_post >= 0) & jnp.any(
-            eq_all & assigned[None, :], axis=1)
-        ring = ring.at[4].set(jnp.where(do_merge & member_in_assigned,
-                                        target, mcid_post))
-        kill_merge = assigned & (cids != target)
-        alive = jnp.where(do_merge & kill_merge, False, alive)
+    # remove empties (skipped on merge updates, AEClustering.cpp:104)
+    alive = jnp.where(vi & ~do_merge & empty, False, alive)
+    corder = jnp.where(~alive, _BIG, corder)
 
-        # remove empties (skipped on merge updates, AEClustering.cpp:104)
-        alive = jnp.where(vi & ~do_merge & empty, False, alive)
-        corder = jnp.where(~alive, _BIG, corder)
+    last_updated = jnp.where(vi, jnp.where(do_add, target, -1),
+                             last_updated)
+    return (alive, corder, cid, mu, ring,
+            next_order, next_cid, event_id, last_updated, overflow)
 
-        last_updated = jnp.where(vi, jnp.where(do_add, target, -1),
-                                 last_updated)
-        return (alive, corder, cid, mu, ring,
-                next_order, next_cid, event_id, last_updated, overflow), None
 
+def _carry0(state: AEState):
     ring0 = jnp.stack([state.mx, state.my, state.mt, state.mp, state.mcid])
-    carry0 = (state.alive, state.corder, state.cid, state.mu, ring0,
-              state.next_order, state.next_cid, state.event_id,
-              state.last_updated, state.overflow)
-    carry, _ = jax.lax.scan(step, carry0, (x, y, tr, p, valid, tmin))
+    return (state.alive, state.corder, state.cid, state.mu, ring0,
+            state.next_order, state.next_cid, state.event_id,
+            state.last_updated, state.overflow)
+
+
+def _finalize(state: AEState, carry, t0, has_any, tmin, tbuf, thead, valid,
+              cfg: ClusterConfig) -> AEState:
+    c = cfg.max_clusters
+    n = valid.shape[0]
     (alive, corder, cid, mu, ring,
      next_order, next_cid, event_id, last_updated, overflow) = carry
     mx, my, mt, mp, mcid = ring
@@ -382,6 +374,175 @@ def update_slice(state: AEState, x, y, t, p, valid,
         alive=alive, corder=corder, cid=cid, mu=mu,
         next_order=next_order, next_cid=next_cid, event_id=event_id,
         last_updated=last_updated, overflow=overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_slice(state: AEState, x, y, t, p, valid,
+                 cfg: ClusterConfig = ClusterConfig()) -> AEState:
+    """scan the per-event update over one slice (masked lanes are no-ops).
+
+    Bit-equal to scanning `update_event`, restructured for TPU scan-step
+    cost (~5.4x measured, BASELINE.md):
+      - the sliding-window tMin of every event depends only on push TIMES,
+        never on cluster state, so it is precomputed for the whole slice
+        OUTSIDE the scan (deque ops leave the loop; tbuf updates collapse to
+        one slice-end scatter);
+      - forget is LAZY: a member is live iff mt >= tMin. tMin is monotone,
+        so expired members never resurrect; explicit per-event ring rewrites
+        (and the dead-cluster member sweep) are redundant — a dead slot's
+        members are always either expired or merge-reassigned to the
+        surviving target;
+      - per-cluster stats ride an (M, C) equality panel (VPU compare+reduce)
+        instead of scatter reductions (scatters are the slow primitive on
+        this backend, CLAUDE.md rule 5);
+      - invalid lanes gate each write instead of a whole-state `where`.
+
+    See update_slice_blocked for the K-events-per-step throughput variant
+    (bit-equal; this per-event form is kept as its oracle).
+    """
+    x, y, tr, p, t0, has_any, tmin, tbuf, thead = _slice_prep(
+        state, x, y, t, p, valid, cfg)
+
+    def step(st, ev):
+        return _event_body(st, ev, cfg), None
+
+    carry, _ = jax.lax.scan(step, _carry0(state), (x, y, tr, p, valid, tmin))
+    return _finalize(state, carry, t0, has_any, tmin, tbuf, thead, valid, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
+def update_slice_blocked(state: AEState, x, y, t, p, valid,
+                         cfg: ClusterConfig = ClusterConfig(),
+                         block: int = 16) -> AEState:
+    """Bit-equal to update_slice, K events per scan step (r3 throughput form).
+
+    The per-event scan's cost is its chain of tiny (C,)-shaped ops — one XLA
+    op dispatch per op per event. This variant processes `block` events per
+    step through a VECTORIZED fast path and falls back to the exact per-event
+    body only when the block is "hazardous". The fast path is provably equal
+    to running _event_body K times whenever, against the exactly-simulated
+    evolving state, every valid event in the block
+
+      (a) matches exactly ONE cluster (no creations, no merges), and
+      (b) no alive cluster's pre-block live membership can reach zero within
+          the block (so no empty-removals, and live == alive throughout —
+          in-block adds only grow counts and added members cannot expire
+          within the slice because event times are monotone and tMin <= t).
+
+    Proof sketch: the simulation matches each event against the means ALREADY
+    updated by the block's earlier events, so by induction (no creations/
+    merges/removals up to the first hazard, live == alive under (b)) the
+    simulated match sets, means, and targets equal the exact execution's up
+    to and including the first hazardous event — hazards are therefore
+    detected on correct state, and a hazard-free block IS the exact
+    execution. The EWMA update (1-α)·mu + α·pix uses the same elementwise
+    float ops as the per-event body (bit-identical); ring appends land in
+    the same slots; alive/corder/cid/counters are untouched. Hazardous
+    blocks replay the exact per-event body from the block-start carry via
+    fori_loop. The equality is regression-tested against update_slice on
+    merge/creation/removal-heavy streams (tests/test_aeclustering.py).
+
+    Requires kappa == 0 (the deployed default — the apps never enable the
+    sampling branch, AEClustering.cpp:14); falls back to update_slice
+    otherwise.
+    """
+    if cfg.kappa != 0:
+        return update_slice(state, x, y, t, p, valid, cfg)
+    c = cfg.max_clusters
+    m = cfg.max_members
+    alpha = cfg.alpha
+    n = x.shape[0]
+    k = block
+    pad = (-n) % k
+    if pad:
+        zi = jnp.zeros((pad,), jnp.int32)
+        x = jnp.concatenate([x.astype(jnp.int32), zi])
+        y = jnp.concatenate([y.astype(jnp.int32), zi])
+        t = jnp.concatenate([t.astype(jnp.int32), zi])
+        p = jnp.concatenate([p.astype(jnp.int32), zi])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    x, y, tr, p, t0, has_any, tmin, tbuf, thead = _slice_prep(
+        state, x, y, t, p, valid, cfg)
+    nb = (n + pad) // k
+    blk = lambda a: a.reshape(nb, k)
+
+    def fallback(args):
+        carry, (xb, yb, tb, pb, vb, tm) = args
+
+        def body(i, st):
+            return _event_body(st, (xb[i], yb[i], tb[i], pb[i], vb[i], tm[i]),
+                               cfg)
+
+        return jax.lax.fori_loop(0, k, body, carry)
+
+    def step(carry, ev):
+        xb, yb, tb, pb, vb, tm = ev
+        (alive, corder, cid, mu0, ring,
+         next_order, next_cid, event_id, last_updated, overflow) = carry
+
+        pix = jnp.stack([xb, yb], axis=1).astype(jnp.float32)     # (K, 2)
+
+        # --- simulate the K EWMA updates, matching each event against the
+        # means already updated by the block's earlier events (bit-identical
+        # elementwise formula; see docstring proof sketch)
+        mu = mu0
+        matches = []
+        for i in range(k):
+            d = jnp.abs(pix[i, 0] - mu[:, 0]) + jnp.abs(pix[i, 1] - mu[:, 1])
+            near = alive & (d <= cfg.radius) & vb[i]
+            matches.append(near)
+            upd = (1.0 - alpha) * mu + alpha * pix[i][None, :]
+            mu = jnp.where(near[:, None], upd, mu)
+        near0 = jnp.stack(matches)                                 # (K, C)
+
+        # --- hazards
+        cnt = jnp.sum(near0.astype(jnp.int32), axis=1)             # (K,)
+        hz_assign = jnp.any(vb & (cnt != 1))
+        live_last = (ring[4] >= 0) & (ring[2] >= tm[-1])
+        n_last = jnp.sum((ring[4][:, None] == jnp.arange(c)[None, :])
+                         & live_last[:, None], axis=0)
+        hz_empty = jnp.any(alive & (n_last == 0))
+        hazard = hz_assign | hz_empty
+
+        # --- commit the fast path (targets = the single match per event)
+        target = jnp.argmax(near0, axis=1).astype(jnp.int32)       # (K,)
+        prefix = jnp.cumsum(vb.astype(jnp.int32)) - 1
+        n_valid = jnp.sum(vb.astype(jnp.int32))
+        slots = jnp.where(vb, (event_id + prefix) % m, m)
+        cols = jnp.stack([xb, yb, tb, pb, target])                 # (5, K)
+        ring_f = ring.at[:, slots].set(cols, mode="drop")
+        has_v = jnp.any(vb)
+        idx_last = k - 1 - jnp.argmax(jnp.flip(vb)).astype(jnp.int32)
+        lu_f = jnp.where(has_v, target[idx_last], last_updated)
+        fast = (alive, corder, cid, mu, ring_f, next_order, next_cid,
+                event_id + n_valid, lu_f, overflow)
+
+        # lax.cond is a real branch on TPU (CLAUDE.md): the expensive exact
+        # replay runs only for hazardous blocks
+        out = jax.lax.cond(hazard, fallback, lambda _: fast, (carry, ev))
+        return out, None
+
+    carry, _ = jax.lax.scan(step, _carry0(state),
+                            (blk(x), blk(y), blk(tr), blk(p),
+                             blk(valid), blk(tmin)))
+    return _finalize(state, carry, t0, has_any, tmin, tbuf, thead,
+                     valid, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def membership_digest(state: AEState,
+                      cfg: ClusterConfig = ClusterConfig()) -> jnp.ndarray:
+    """Order-independent per-cluster member-set fingerprint: the wrapping
+    int32 sum of a per-member mix of (x, y, t). Two states whose digests AND
+    counts agree per cluster hold the same member multisets with overwhelming
+    probability — used by the distributed-exact equivalence tests to compare
+    memberships without shipping the member ring."""
+    c = cfg.max_clusters
+    ids = jnp.where(state.mcid >= 0, state.mcid, c)
+    mix = (state.mx * np.int32(131071) + state.my * np.int32(8191)
+           + state.mt * np.int32(31) + np.int32(1))
+    return jax.ops.segment_sum(jnp.where(state.mcid >= 0, mix, 0), ids,
+                               num_segments=c + 1)[:c]
 
 
 class ClusterView(NamedTuple):

@@ -145,7 +145,14 @@ def cluster_flow_step_exact(
     …store.cpp:439), so the szBuffer window expires by unique kilo-coords.
     """
     ded = hash_dedup.dedup(x, y, valid, cfg.dedup, cfg.sensor)
-    lane = jnp.arange(x.shape[0])
+    ux, uy = ded.unique_x, ded.unique_y
+    # hash-mode dedup yields at most num_buckets uniques — the compacted
+    # arrays beyond that are structurally dead lanes; cap the scan length
+    # (r3: halves the per-event work for 16384-event slices at 8192 buckets)
+    if not cfg.dedup.exact and cfg.dedup.num_buckets < x.shape[0]:
+        ux = ux[:cfg.dedup.num_buckets]
+        uy = uy[:cfg.dedup.num_buckets]
+    lane = jnp.arange(ux.shape[0])
     uvalid = lane < ded.unique_count
     if cum_unique is None:
         cum_unique = jnp.int32(0)
@@ -160,9 +167,13 @@ def cluster_flow_step_exact(
         tt = jnp.where(uvalid, new_cum, 0)
     else:
         tt = jnp.where(uvalid, jnp.max(jnp.where(valid, t, 0)), 0)
-    state = aeclustering.update_slice(
-        state, ded.unique_x, ded.unique_y, tt, jnp.zeros_like(ded.unique_x),
-        uvalid, cfg.cluster)
+    if cfg.cluster.exact_block:
+        state = aeclustering.update_slice_blocked(
+            state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster,
+            cfg.cluster.exact_block)
+    else:
+        state = aeclustering.update_slice(
+            state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)
     return state, aeclustering.snapshot(state, cfg.cluster), new_cum
 
 

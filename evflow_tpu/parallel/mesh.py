@@ -31,6 +31,15 @@ def make_grid_mesh(n_data: int, n_tiles: int,
     return jax.make_mesh((n_data, n_tiles), (cfg.data_axis, cfg.tile_axis))
 
 
+def make_data_mesh(n_data: int,
+                   cfg: ParallelConfig = ParallelConfig()) -> Mesh:
+    """1-D mesh over the data (time-window) axis — used by the exact-engine
+    temporal pipeline, which has no spatial tiling (the per-event deque
+    semantics are order-sensitive; see temporal.make_temporal_exact_pipeline)."""
+    devs = jax.devices()
+    return jax.make_mesh((n_data,), (cfg.data_axis,), devices=devs[:n_data])
+
+
 def tile_sharding(mesh: Mesh, cfg: ParallelConfig = ParallelConfig()):
     """Leading-axis sharding over tiles."""
     return NamedSharding(mesh, P(cfg.tile_axis))

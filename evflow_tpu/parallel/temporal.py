@@ -86,7 +86,8 @@ from jax import shard_map
 from ..config import EngineConfig, DEFAULT
 from ..io.slicing import EventSlices
 from ..ops import hash_dedup
-from ..models import fastcluster, tracker as tracker_mod
+from ..models import aeclustering, fastcluster, tracker as tracker_mod
+from ..models import pipeline as pipeline_mod
 from . import tiling
 
 _BIG = np.float32(3.0e38)  # np: a module-level jnp scalar would init the backend at import, breaking jax.distributed.initialize
@@ -240,6 +241,153 @@ def window_tile_events(slices: EventSlices, n_windows: int, n_tiles: int,
             ot[w, :, s] = np.clip(tt, 0, np.iinfo(np.int32).max).astype(np.int32)
             ovalid[w, :, s] = np.arange(cap)[None, :] < cnt[:, None]
     return ox, oy, ot, ovalid, emit, armed
+
+
+def window_events(slices: EventSlices, n_windows: int, warmup: int,
+                  capacity: Optional[int] = None):
+    """Split sliced events into overlapping time windows (no spatial tiling)
+    for the EXACT-engine temporal pipeline — one vectorized gather, no
+    per-window Python loop.
+
+    Returns (x, y, t, valid) of shape (W, warmup+n_emit, cap) with t rebased
+    to the stream origin (int32), plus emit (W, warmup+n_emit) bool."""
+    s_total = slices.num_slices
+    n_emit = -(-s_total // n_windows)
+    s_win = warmup + n_emit
+    t0 = 0
+    if s_total and slices.count[0] > 0:
+        t0 = int(slices.t[0, 0])
+    g = (np.arange(n_windows)[:, None] * n_emit - warmup
+         + np.arange(s_win)[None, :])                      # (W, s_win) global
+    ok = (g >= 0) & (g < s_total)
+    gc = np.clip(g, 0, max(s_total - 1, 0))
+    x = slices.x[gc].astype(np.int32)
+    y = slices.y[gc].astype(np.int32)
+    t = np.clip(slices.t[gc].astype(np.int64) - t0, 0,
+                np.iinfo(np.int32).max).astype(np.int32)
+    valid = slices.valid_mask()[gc] & ok[:, :, None]
+    emit = np.broadcast_to(np.arange(s_win)[None, :] >= warmup,
+                           (n_windows, s_win)).copy()
+    if capacity and capacity < x.shape[2]:
+        x, y, t, valid = (a[:, :, :capacity] for a in (x, y, t, valid))
+    return x, y, t, valid, emit
+
+
+class TemporalExactOutput(NamedTuple):
+    """Per-slice exact-engine snapshots, (W, S_emit, ...) data-sharded, plus
+    the replicated cross-window cluster chain."""
+    alive: jnp.ndarray          # bool (W, S, C)
+    cid: jnp.ndarray            # int32 (W, S, C) window-local persistent ids
+    n: jnp.ndarray              # int32 (W, S, C)
+    mu: jnp.ndarray             # float32 (W, S, C, 2)
+    centroid: jnp.ndarray       # float32 (W, S, C, 2)
+    digest: jnp.ndarray         # int32 (W, S, C) member-set fingerprint
+    cluster_chain: jnp.ndarray  # int32 (W, C) stream-global chain id of each
+    #                             slot at its final report (-1 not reported)
+
+
+def make_temporal_exact_pipeline(mesh: Mesh, n_windows: int, n_emit: int,
+                                 warmup: int, cfg: EngineConfig = DEFAULT):
+    """Distributed execution of the EXACT (bit-parity) AEClustering engine
+    (VERDICT r2 item 1; BASELINE.json configs[4]): windows run the sequential
+    per-event engine in parallel over the mesh's data axis, each preceded by
+    a warm-up replay of the previous window's tail.
+
+    Parity argument (tested bit-for-bit in tests/test_temporal.py):
+      - the sliding tMin window holds the last sz_buffer update TIMES — once
+        the warm-up contains >= sz_buffer deduped events, tbuf/tMin equal the
+        sequential run's exactly;
+      - live members all arrived within the last sz_buffer updates (mt >=
+        tMin), i.e. inside the warm-up span, so memberships replay exactly
+        once the cluster structure has converged;
+      - cluster means are EWMA (alpha decay per member add) whose pre-warmup
+        contribution halves per add at alpha=0.5 — clusters whose members
+        fully turn over during warm-up reach bit-equal means (dyadic
+        arithmetic), up to slot/cid RELABELING, which the cross-window chain
+        reconciles. Merge means are weighted sums over the assigned set —
+        invariant to slot order.
+    The engine is sequential per event WITHIN a window (deque semantics,
+    AEClustering.cpp:47-118) — the data axis is the only parallel axis here;
+    spatial tiling would reorder events and break bit-parity.
+    """
+    data_ax = cfg.parallel.data_axis
+    ccap = cfg.cluster.max_clusters
+
+    def per_shard(x, y, t, valid, emit):
+        xl, yl, tl, vl = x[0], y[0], t[0], valid[0]       # (S, cap)
+        em = emit[0]                                      # (S,)
+        # times are pre-rebased to the stream origin; pin t0 = 0 so every
+        # window shares the sequential run's clock (shift-invariant anyway)
+        st0 = aeclustering.init_state(cfg.cluster)._replace(
+            has_t0=jnp.array(True))
+        fc0 = (jnp.zeros((ccap, 2)), jnp.zeros((ccap,), bool))
+
+        def step(carry, ev):
+            state, cum, first_cent, first_ok = carry
+            ex, ey, et, ev_valid, e_em = ev
+            state, view, cum = pipeline_mod.cluster_flow_step_exact(
+                state, ex, ey, et, ev_valid, cfg, cum)
+            dig = aeclustering.membership_digest(state, cfg.cluster)
+
+            new_first = e_em & view.alive & ~first_ok
+            first_cent = jnp.where(new_first[:, None], view.centroid,
+                                   first_cent)
+            first_ok = first_ok | new_first
+            ys = (view.alive & e_em, view.cid, view.n, view.mu,
+                  view.centroid, dig)
+            return (state, cum, first_cent, first_ok), ys
+
+        carry0 = (st0, jnp.int32(0), *fc0)
+        carry, ys = jax.lax.scan(step, carry0, (xl, yl, tl, vl, em))
+        (_state, _cum, first_cent, first_ok) = carry
+        alive_s, cid_s, n_s, mu_s, cent_s, dig_s = ys
+        final_cent = cent_s[-1]
+        final_ok = alive_s[-1]
+
+        g_first_cent = jax.lax.all_gather(first_cent, data_ax)
+        g_first_ok = jax.lax.all_gather(first_ok, data_ax)
+        g_final_cent = jax.lax.all_gather(final_cent, data_ax)
+        g_final_ok = jax.lax.all_gather(final_ok, data_ax)
+        chain = fuse_clusters(g_first_cent, g_first_ok,
+                              g_final_cent, g_final_ok, cfg)
+
+        s_emit = slice(warmup, None)
+        return TemporalExactOutput(
+            alive=alive_s[s_emit][None], cid=cid_s[s_emit][None],
+            n=n_s[s_emit][None], mu=mu_s[s_emit][None],
+            centroid=cent_s[s_emit][None], digest=dig_s[s_emit][None],
+            cluster_chain=chain)
+
+    ev_spec = P(data_ax)
+    out_spec = TemporalExactOutput(
+        alive=ev_spec, cid=ev_spec, n=ev_spec, mu=ev_spec,
+        centroid=ev_spec, digest=ev_spec, cluster_chain=P())
+    smapped = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(ev_spec, ev_spec, ev_spec, ev_spec, ev_spec),
+        out_specs=out_spec,
+        check_vma=False)
+    return jax.jit(smapped)
+
+
+def run_temporal_exact(slices: EventSlices, mesh: Mesh, n_windows: int,
+                       warmup: int = 4, cfg: EngineConfig = DEFAULT,
+                       capacity: Optional[int] = None) -> TemporalExactOutput:
+    """Window the sliced stream (no tiling), place on the data axis, run the
+    exact engine window-parallel. Sizing: the warm-up slices must together
+    contain >= cfg.cluster.sz_buffer deduped events for tMin bit-parity."""
+    x, y, t, valid, emit = window_events(slices, n_windows, warmup, capacity)
+    n_emit = x.shape[1] - warmup
+    step = make_temporal_exact_pipeline(mesh, n_windows, n_emit, warmup, cfg)
+    ev_sh = NamedSharding(mesh, P(cfg.parallel.data_axis))
+    if jax.process_count() > 1:
+        put = functools.partial(jax.make_array_from_process_local_data, ev_sh)
+        sel = _local_window_slice(mesh, n_windows, cfg)
+        args = (put(x[sel]), put(y[sel]), put(t[sel]), put(valid[sel]),
+                put(emit[sel]))
+    else:
+        args = tuple(jax.device_put(a, ev_sh) for a in (x, y, t, valid, emit))
+    return step(*args)
 
 
 # --------------------------------------------------------------------------
@@ -523,6 +671,33 @@ def make_temporal_pipeline(mesh: Mesh, n_windows: int, n_tiles: int,
 # Host driver
 # --------------------------------------------------------------------------
 
+def _local_window_slice(mesh: Mesh, n_windows: int,
+                        cfg: EngineConfig) -> slice:
+    """Which window rows this process feeds (multi-process runs hold the full
+    host arrays and slice out their shard). Validates the assumptions the
+    slice relies on: even division and data-axis rows mapped contiguously to
+    processes in sorted process-index order."""
+    didx = sorted({mesh.devices.flat[i].process_index
+                   for i in range(mesh.devices.size)})
+    if n_windows % jax.process_count() != 0:
+        raise ValueError(
+            f"n_windows={n_windows} must divide evenly over "
+            f"{jax.process_count()} processes")
+    d_ax = mesh.axis_names.index(cfg.parallel.data_axis)
+    rows = np.moveaxis(mesh.devices, d_ax, 0).reshape(
+        mesh.shape[cfg.parallel.data_axis], -1)
+    row_proc = [{d.process_index for d in r} for r in rows]
+    if any(len(s) != 1 for s in row_proc) or \
+            [next(iter(s)) for s in row_proc] != sorted(
+                next(iter(s)) for s in row_proc):
+        raise ValueError(
+            "mesh data-axis rows must each belong to one process and be "
+            f"ordered by process index; got {row_proc}")
+    nw_local = n_windows // jax.process_count()
+    w0 = didx.index(jax.process_index()) * nw_local
+    return slice(w0, w0 + nw_local)
+
+
 def run_temporal(slices: EventSlices, mesh: Mesh, n_windows: int,
                  n_tiles: int, warmup: int = 8,
                  cfg: EngineConfig = DEFAULT,
@@ -544,28 +719,7 @@ def run_temporal(slices: EventSlices, mesh: Mesh, n_windows: int,
     if jax.process_count() > 1:
         put_ev = functools.partial(jax.make_array_from_process_local_data, ev_sh)
         put_win = functools.partial(jax.make_array_from_process_local_data, win_sh)
-        # each process holds the full host arrays; slice out its shard rows
-        didx = sorted({mesh.devices.flat[i].process_index
-                       for i in range(mesh.devices.size)})
-        if n_windows % jax.process_count() != 0:
-            raise ValueError(
-                f"n_windows={n_windows} must divide evenly over "
-                f"{jax.process_count()} processes")
-        # the window slice below assumes data-axis rows map to processes
-        # contiguously in sorted process-index order — verify on the mesh
-        d_ax = mesh.axis_names.index(cfg.parallel.data_axis)
-        rows = np.moveaxis(mesh.devices, d_ax, 0).reshape(
-            mesh.shape[cfg.parallel.data_axis], -1)
-        row_proc = [{d.process_index for d in r} for r in rows]
-        if any(len(s) != 1 for s in row_proc) or \
-                [next(iter(s)) for s in row_proc] != sorted(
-                    next(iter(s)) for s in row_proc):
-            raise ValueError(
-                "mesh data-axis rows must each belong to one process and be "
-                f"ordered by process index; got {row_proc}")
-        nw_local = n_windows // jax.process_count()
-        w0 = didx.index(jax.process_index()) * nw_local
-        sel = slice(w0, w0 + nw_local)
+        sel = _local_window_slice(mesh, n_windows, cfg)
         args = (put_ev(x[sel]), put_ev(y[sel]), put_ev(t[sel]),
                 put_ev(valid[sel]), put_win(emit[sel]), put_win(armed[sel]))
     else:

@@ -164,3 +164,64 @@ def test_update_slice_matches_eager_update_event():
             a = np.asarray(getattr(st_fast, f))
             b = np.asarray(getattr(st_eager, f))
             np.testing.assert_array_equal(a, b, err_msg=f"slice {s} field {f}")
+
+
+def test_blocked_bit_equals_per_event_scan():
+    """update_slice_blocked (K events/step, r3) == update_slice bit-for-bit
+    on a merge/creation/removal-heavy stream with invalid lanes, across
+    block sizes that do and don't divide the slice length."""
+    rng = np.random.default_rng(7)
+    n_slices, n = 5, 200     # 200 % 16 != 0 -> exercises padding
+    centers = np.array([[50., 50.], [120., 80.], [220., 40.]])
+    vel = np.array([[9., 4.], [-7., 5.], [2., -3.]])
+    streams = []
+    t_base = 0
+    for s in range(n_slices):
+        c = rng.integers(0, 3, n)
+        xs = (centers[c, 0] + rng.normal(0, 6, n)).astype(np.int32)
+        ys = (centers[c, 1] + rng.normal(0, 6, n)).astype(np.int32)
+        nz = rng.random(n) < 0.1    # isolated noise: creations + removals
+        xs[nz] = rng.integers(0, 600, nz.sum())
+        ys[nz] = rng.integers(0, 400, nz.sum())
+        ts = t_base + np.sort(rng.integers(0, 1000, n)).astype(np.int32)
+        ps = rng.integers(0, 2, n).astype(np.int32)
+        valid = rng.random(n) < 0.95
+        streams.append((xs, ys, ts, ps, valid))
+        t_base += 1000
+        centers += vel              # blobs drift together -> merges
+
+    for block in (8, 16):
+        sta = ae.init_state(CFG)
+        stb = ae.init_state(CFG)
+        for xs, ys, ts, ps, valid in streams:
+            a = jnp.asarray
+            sta = ae.update_slice(sta, a(xs), a(ys), a(ts), a(ps),
+                                  a(valid), CFG)
+            stb = ae.update_slice_blocked(stb, a(xs), a(ys), a(ts), a(ps),
+                                          a(valid), CFG, block)
+            for f in sta._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sta, f)), np.asarray(getattr(stb, f)),
+                    err_msg=f"block={block} field={f}")
+
+
+def test_blocked_all_hazard_blocks():
+    """A stream where EVERY block is hazardous (isolated points: every event
+    creates a cluster that is removed as the next arrives) must still match —
+    the fallback path alone carries the slice."""
+    rng = np.random.default_rng(3)
+    n = 96
+    xs = (np.arange(n, dtype=np.int32) * 97) % 1200   # far apart
+    ys = (np.arange(n, dtype=np.int32) * 53) % 700
+    ts = np.sort(rng.integers(0, 5000, n)).astype(np.int32)
+    ps = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    a = jnp.asarray
+    sta = ae.update_slice(ae.init_state(CFG), a(xs), a(ys), a(ts), a(ps),
+                          a(valid), CFG)
+    stb = ae.update_slice_blocked(ae.init_state(CFG), a(xs), a(ys), a(ts),
+                                  a(ps), a(valid), CFG, 16)
+    for f in sta._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sta, f)), np.asarray(getattr(stb, f)),
+            err_msg=f"field={f}")

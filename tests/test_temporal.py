@@ -310,3 +310,108 @@ main(['temporal', '--input', '/tmp/_temporal_cli.csv',
     assert r.returncode == 0, r.stderr[-4000:]
     assert "refined track chains:" in r.stdout
     assert "window 1 slice" in r.stdout
+
+
+@pytest.mark.slow
+def test_temporal_exact_bit_parity():
+    """VERDICT r2 item 1: the EXACT (bit-parity) AEClustering engine runs
+    window-parallel over the data axis and, post-warmup, every emitted
+    slice's live clusters match the single-device sequential exact run
+    BIT-FOR-BIT — counts, EWMA means, centroids, AND member-set digests —
+    up to slot/cid relabeling; cluster chains follow each physical blob
+    across every window boundary."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from evflow_tpu.config import (EngineConfig, SensorConfig, SliceConfig,
+                               ClusterConfig, DedupConfig)
+from evflow_tpu.io.slicing import slice_by_count
+from evflow_tpu.models import aeclustering as ae, pipeline as pl
+from evflow_tpu.parallel import mesh as mesh_mod, temporal
+
+ECFG = EngineConfig(
+    sensor=SensorConfig(width=256, height=128),
+    slicing=SliceConfig(n_events=512),
+    dedup=DedupConfig(exact=True),
+    cluster=ClusterConfig(sz_buffer=256, radius=15.0, min_n=3,
+                          max_clusters=32, max_members=512),
+)
+
+def blob_scene(num_slices=16, n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[60., 60.], [180., 40.], [120., 100.]])
+    vel = np.array([[2., 1.], [-2., 1.5], [1., -1.5]])
+    xs, ys, ts, paths = [], [], [], []
+    for s in range(num_slices):
+        c = rng.integers(0, 3, n)
+        x = np.clip(rng.normal(centers[c, 0], 3.0), 0, 255).astype(np.int32)
+        y = np.clip(rng.normal(centers[c, 1], 3.0), 0, 127).astype(np.int32)
+        t = (1000 * (s + 1) + np.sort(rng.integers(0, 900, n))).astype(np.int64)
+        xs.append(x); ys.append(y); ts.append(t)
+        paths.append(centers.copy())
+        centers += vel
+    from evflow_tpu.io.events import EventStream
+    return EventStream(np.concatenate(xs), np.concatenate(ys),
+                       np.concatenate(ts),
+                       np.zeros(num_slices * n, np.int32)), paths
+
+stream, paths = blob_scene()
+slices = slice_by_count(stream, 512)
+S = slices.num_slices
+t0 = int(slices.t[0, 0])
+
+# sequential exact run on the same rebased clock
+st = ae.init_state(ECFG.cluster)._replace(has_t0=jnp.array(True))
+cum = jnp.int32(0)
+mask = slices.valid_mask()
+seq = []
+for s in range(S):
+    st, view, cum = pl.cluster_flow_step_exact(
+        st, jnp.asarray(slices.x[s].astype(np.int32)),
+        jnp.asarray(slices.y[s].astype(np.int32)),
+        jnp.asarray((slices.t[s] - t0).astype(np.int32)),
+        jnp.asarray(mask[s]), ECFG, cum)
+    dig = ae.membership_digest(st, ECFG.cluster)
+    seq.append((np.asarray(view.alive), np.asarray(view.n),
+                np.asarray(view.mu), np.asarray(view.centroid),
+                np.asarray(dig)))
+
+W, warm = 4, 3
+m = mesh_mod.make_data_mesh(W, ECFG.parallel)
+out = temporal.run_temporal_exact(slices, m, W, warmup=warm, cfg=ECFG)
+alive = np.asarray(out.alive); n_ = np.asarray(out.n)
+mu = np.asarray(out.mu); cen = np.asarray(out.centroid)
+dig = np.asarray(out.digest); chain = np.asarray(out.cluster_chain)
+n_emit = alive.shape[1]
+assert W * n_emit == S
+
+def canon(a, n, mus, cens, digs):
+    return sorted((int(n[i]), float(cens[i, 0]), float(cens[i, 1]),
+                   float(mus[i, 0]), float(mus[i, 1]), int(digs[i]))
+                  for i in np.where(a)[0])
+
+for w in range(W):
+    for s in range(n_emit):
+        g = w * n_emit + s
+        sa, sn, smu, scen, sdig = seq[g]
+        got = canon(alive[w, s], n_[w, s], mu[w, s], cen[w, s], dig[w, s])
+        exp = canon(sa, sn, smu, scen, sdig)
+        assert got == exp, (w, s, got, exp)
+
+# chains follow the physical blobs: for each blob, the slot nearest its true
+# center in each window's LAST emitted slice must carry one chain id
+for b in range(3):
+    ids = set()
+    for w in range(W):
+        g = (w + 1) * n_emit - 1
+        true_c = paths[g][b]
+        live = np.where(alive[w, -1])[0]
+        d = np.abs(cen[w, -1, live] - true_c[None, :]).sum(1)
+        slot = live[np.argmin(d)]
+        assert d.min() < 6.0, (b, w, d.min())
+        ids.add(int(chain[w, slot]))
+    assert len(ids) == 1, (b, ids)
+print("EXACT-PARITY-OK")
+"""
+    r = _run_cpu8(code, timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "EXACT-PARITY-OK" in r.stdout
