@@ -198,56 +198,63 @@ class TemporalOutput(NamedTuple):
 
 def window_tile_events(slices: EventSlices, n_windows: int, n_tiles: int,
                        warmup: int, cfg: EngineConfig = DEFAULT,
-                       capacity: Optional[int] = None):
+                       capacity: Optional[int] = None,
+                       window_range: Optional[range] = None):
     """Split sliced events into overlapping windows × spatial tiles.
 
-    Returns (x, y, t, valid) of shape (W, n_tiles, warmup+n_emit, cap),
-    plus emit (W, warmup+n_emit) bool (False on warm-up slices) and
-    armed (W, warmup+n_emit) bool (the sequential `slice_idx > 0` corner
-    arming rule, evaluated on GLOBAL slice indices so window 0's first slice
-    behaves exactly like the sequential pipeline's).
+    Returns (x, y, t, valid) of shape (W_local, n_tiles, warmup+n_emit, cap),
+    plus emit (W_local, warmup+n_emit) bool (False on warm-up slices) and
+    armed (W_local, warmup+n_emit) bool (the sequential `slice_idx > 0`
+    corner arming rule, evaluated on GLOBAL slice indices so window 0's
+    first slice behaves exactly like the sequential pipeline's).
+
+    Vectorized (r3, VERDICT item 8): each global slice is tile-bucketed ONCE
+    (one argsort pass over all slices), windows gather bucketed rows.
+    `window_range` restricts output to a subset of windows so multi-process
+    runs materialize only their local shard (memory ∝ local windows).
     """
     s_total = slices.num_slices
     n_emit = -(-s_total // n_windows)
     cap = capacity or slices.slice_capacity
     s_win = warmup + n_emit
-    w_, h_ = cfg.sensor.width, cfg.sensor.height
 
     t0 = 0
     if s_total and slices.count[0] > 0:
         t0 = int(slices.t[0, 0])
-    mask = slices.valid_mask()
+    bx, by, bt, _bp, cnt = tiling.bucket_slices_by_tile(
+        slices.x, slices.y, slices.t.astype(np.int64), slices.p,
+        slices.valid_mask(), n_tiles, cfg.sensor.width, cap)
+    bt = np.clip(bt - t0, 0, np.iinfo(np.int32).max).astype(np.int32)
 
-    ox = np.zeros((n_windows, n_tiles, s_win, cap), np.int32)
-    oy = np.zeros_like(ox)
-    ot = np.zeros_like(ox)
-    ovalid = np.zeros((n_windows, n_tiles, s_win, cap), bool)
-    emit = np.zeros((n_windows, s_win), bool)
-    armed = np.zeros((n_windows, s_win), bool)
-
-    for w in range(n_windows):
-        for s in range(s_win):
-            g = w * n_emit - warmup + s
-            emit[w, s] = s >= warmup
-            armed[w, s] = g > 0
-            if g < 0 or g >= s_total:
-                continue
-            tx, ty, tt, _tp, cnt = tiling.bucket_by_tile(
-                slices.x[g], slices.y[g],
-                (slices.t[g] - t0).astype(np.int64), slices.p[g],
-                mask[g], n_tiles, w_, cap)
-            ox[w, :, s] = tx
-            oy[w, :, s] = ty
-            ot[w, :, s] = np.clip(tt, 0, np.iinfo(np.int32).max).astype(np.int32)
-            ovalid[w, :, s] = np.arange(cap)[None, :] < cnt[:, None]
+    wr = np.arange(n_windows) if window_range is None else np.asarray(
+        list(window_range))
+    g = wr[:, None] * n_emit - warmup + np.arange(s_win)[None, :]
+    ok = (g >= 0) & (g < s_total)                        # (W_local, s_win)
+    gc = np.clip(g, 0, max(s_total - 1, 0))
+    # gather (W_local, s_win, n_tiles, cap) then put tiles before slices
+    tr = lambda a: np.transpose(a[gc], (0, 2, 1, 3))
+    ox, oy, ot = tr(bx), tr(by), tr(bt)
+    ovalid = (np.arange(cap)[None, None, :] < cnt[gc][..., None]) \
+        & ok[:, :, None, None]
+    ovalid = np.transpose(ovalid, (0, 2, 1, 3))
+    zero = ~np.transpose(np.broadcast_to(
+        ok[:, :, None, None], ok.shape + (n_tiles, cap)), (0, 2, 1, 3))
+    ox = np.where(zero, 0, ox)
+    oy = np.where(zero, 0, oy)
+    ot = np.where(zero, 0, ot)
+    emit = np.broadcast_to(np.arange(s_win)[None, :] >= warmup,
+                           g.shape).copy()
+    armed = g > 0
     return ox, oy, ot, ovalid, emit, armed
 
 
 def window_events(slices: EventSlices, n_windows: int, warmup: int,
-                  capacity: Optional[int] = None):
+                  capacity: Optional[int] = None,
+                  window_range: Optional[range] = None):
     """Split sliced events into overlapping time windows (no spatial tiling)
     for the EXACT-engine temporal pipeline — one vectorized gather, no
-    per-window Python loop.
+    per-window Python loop. `window_range` restricts to a subset of windows
+    (multi-process local loading).
 
     Returns (x, y, t, valid) of shape (W, warmup+n_emit, cap) with t rebased
     to the stream origin (int32), plus emit (W, warmup+n_emit) bool."""
@@ -257,7 +264,9 @@ def window_events(slices: EventSlices, n_windows: int, warmup: int,
     t0 = 0
     if s_total and slices.count[0] > 0:
         t0 = int(slices.t[0, 0])
-    g = (np.arange(n_windows)[:, None] * n_emit - warmup
+    wr = np.arange(n_windows) if window_range is None else np.asarray(
+        list(window_range))
+    g = (wr[:, None] * n_emit - warmup
          + np.arange(s_win)[None, :])                      # (W, s_win) global
     ok = (g >= 0) & (g < s_total)
     gc = np.clip(g, 0, max(s_total - 1, 0))
@@ -267,7 +276,7 @@ def window_events(slices: EventSlices, n_windows: int, warmup: int,
                 np.iinfo(np.int32).max).astype(np.int32)
     valid = slices.valid_mask()[gc] & ok[:, :, None]
     emit = np.broadcast_to(np.arange(s_win)[None, :] >= warmup,
-                           (n_windows, s_win)).copy()
+                           (len(wr), s_win)).copy()
     if capacity and capacity < x.shape[2]:
         x, y, t, valid = (a[:, :, :capacity] for a in (x, y, t, valid))
     return x, y, t, valid, emit
@@ -376,17 +385,20 @@ def run_temporal_exact(slices: EventSlices, mesh: Mesh, n_windows: int,
     """Window the sliced stream (no tiling), place on the data axis, run the
     exact engine window-parallel. Sizing: the warm-up slices must together
     contain >= cfg.cluster.sz_buffer deduped events for tMin bit-parity."""
-    x, y, t, valid, emit = window_events(slices, n_windows, warmup, capacity)
-    n_emit = x.shape[1] - warmup
-    step = make_temporal_exact_pipeline(mesh, n_windows, n_emit, warmup, cfg)
     ev_sh = NamedSharding(mesh, P(cfg.parallel.data_axis))
     if jax.process_count() > 1:
-        put = functools.partial(jax.make_array_from_process_local_data, ev_sh)
         sel = _local_window_slice(mesh, n_windows, cfg)
-        args = (put(x[sel]), put(y[sel]), put(t[sel]), put(valid[sel]),
-                put(emit[sel]))
+        x, y, t, valid, emit = window_events(
+            slices, n_windows, warmup, capacity,
+            window_range=range(sel.start, sel.stop))
+        put = functools.partial(jax.make_array_from_process_local_data, ev_sh)
+        args = (put(x), put(y), put(t), put(valid), put(emit))
     else:
+        x, y, t, valid, emit = window_events(slices, n_windows, warmup,
+                                             capacity)
         args = tuple(jax.device_put(a, ev_sh) for a in (x, y, t, valid, emit))
+    n_emit = x.shape[1] - warmup
+    step = make_temporal_exact_pipeline(mesh, n_windows, n_emit, warmup, cfg)
     return step(*args)
 
 
@@ -704,26 +716,29 @@ def run_temporal(slices: EventSlices, mesh: Mesh, n_windows: int,
                  capacity: Optional[int] = None) -> TemporalOutput:
     """Window + tile the sliced stream, place shards on the grid mesh, run.
 
-    Under `jax.distributed` each process feeds only its local windows
-    (jax.make_array_from_process_local_data); single-process, device_put with
+    Under `jax.distributed` each process buckets and materializes ONLY its
+    local windows (window_range) and feeds them via
+    jax.make_array_from_process_local_data; single-process, device_put with
     the grid sharding suffices.
     """
-    x, y, t, valid, emit, armed = window_tile_events(
-        slices, n_windows, n_tiles, warmup, cfg, capacity)
-    n_emit = x.shape[2] - warmup
-    step = make_temporal_pipeline(mesh, n_windows, n_tiles, n_emit, warmup, cfg)
-
     ev_sh = NamedSharding(mesh, P(cfg.parallel.data_axis,
                                   cfg.parallel.tile_axis))
     win_sh = NamedSharding(mesh, P(cfg.parallel.data_axis))
     if jax.process_count() > 1:
+        sel = _local_window_slice(mesh, n_windows, cfg)
+        x, y, t, valid, emit, armed = window_tile_events(
+            slices, n_windows, n_tiles, warmup, cfg, capacity,
+            window_range=range(sel.start, sel.stop))
         put_ev = functools.partial(jax.make_array_from_process_local_data, ev_sh)
         put_win = functools.partial(jax.make_array_from_process_local_data, win_sh)
-        sel = _local_window_slice(mesh, n_windows, cfg)
-        args = (put_ev(x[sel]), put_ev(y[sel]), put_ev(t[sel]),
-                put_ev(valid[sel]), put_win(emit[sel]), put_win(armed[sel]))
+        args = (put_ev(x), put_ev(y), put_ev(t),
+                put_ev(valid), put_win(emit), put_win(armed))
     else:
+        x, y, t, valid, emit, armed = window_tile_events(
+            slices, n_windows, n_tiles, warmup, cfg, capacity)
         args = (jax.device_put(x, ev_sh), jax.device_put(y, ev_sh),
                 jax.device_put(t, ev_sh), jax.device_put(valid, ev_sh),
                 jax.device_put(emit, win_sh), jax.device_put(armed, win_sh))
+    n_emit = x.shape[2] - warmup
+    step = make_temporal_pipeline(mesh, n_windows, n_tiles, n_emit, warmup, cfg)
     return step(*args)

@@ -70,6 +70,45 @@ def bucket_by_tile(x, y, t, p, valid, n_tiles: int, width: int, capacity: int):
     return ox, oy, ot, op, cnt
 
 
+def bucket_slices_by_tile(x, y, t, p, valid, n_tiles: int, width: int,
+                          capacity: int):
+    """Vectorized bucket_by_tile over ALL slices at once (host-side numpy).
+
+    x, y, t, p: (S, N); valid: (S, N). Returns (S, n_tiles, capacity) arrays
+    (stream order within each tile, overflow beyond capacity dropped) plus
+    (S, n_tiles) kept counts — identical per slice to bucket_by_tile
+    (tests/test_parallel.py), one argsort pass instead of a Python loop
+    per window×slice (VERDICT r2 item 8)."""
+    x = np.asarray(x); y = np.asarray(y); t = np.asarray(t); p = np.asarray(p)
+    valid = np.asarray(valid)
+    s, n = x.shape
+    tile_w = -(-width // n_tiles)
+    tile = np.clip(x // tile_w, 0, n_tiles - 1)
+    tile = np.where(valid, tile, n_tiles)              # park invalid lanes
+    # stable per-slice sort by tile (lane tiebreak keeps stream order)
+    order = np.argsort(tile * np.int64(n) + np.arange(n)[None, :], axis=1)
+    st = np.take_along_axis(tile, order, axis=1)       # (S, N) sorted tiles
+    first = np.concatenate([np.ones((s, 1), bool), st[:, 1:] != st[:, :-1]],
+                           axis=1)
+    run_start = np.maximum.accumulate(
+        np.where(first, np.arange(n)[None, :], 0), axis=1)
+    rank = np.arange(n)[None, :] - run_start
+    keep = (st < n_tiles) & (rank < capacity)
+    srow = np.broadcast_to(np.arange(s)[:, None], (s, n))[keep]
+    stile = st[keep]
+    srank = rank[keep]
+    slane = np.take_along_axis(
+        np.broadcast_to(np.arange(n)[None, :], (s, n)), order, axis=1)[keep]
+    out = []
+    for a, dt in ((x, np.int32), (y, np.int32), (t, t.dtype), (p, np.int32)):
+        o = np.zeros((s, n_tiles, capacity), dt)
+        o[srow, stile, srank] = a[srow, slane]
+        out.append(o)
+    cnt = np.zeros((s, n_tiles), np.int32)
+    np.add.at(cnt, (srow, stile), 1)
+    return (*out, cnt)
+
+
 # --------------------------------------------------------------------------
 # Tiled flagship step: dedup (tile-parallel) → cluster update (replicated)
 # --------------------------------------------------------------------------

@@ -415,3 +415,59 @@ print("EXACT-PARITY-OK")
     r = _run_cpu8(code, timeout=900)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "EXACT-PARITY-OK" in r.stdout
+
+
+def test_window_tile_events_vectorized_prep():
+    """The r3 vectorized host prep (one argsort bucketing pass + window
+    gathers, optional per-process window_range) must reproduce the r2
+    per-window×slice loop exactly: compare against a direct per-slice
+    bucket_by_tile reference, and check window_range slices the full
+    output (memory ∝ local windows)."""
+    import numpy as np
+    from evflow_tpu.config import EngineConfig, SensorConfig
+    from evflow_tpu.io.events import EventStream
+    from evflow_tpu.io.slicing import slice_by_count
+    from evflow_tpu.parallel import temporal, tiling
+
+    cfg = EngineConfig(sensor=SensorConfig(width=256, height=128))
+    rng = np.random.default_rng(5)
+    n, s_total = 512, 64
+    x = rng.integers(0, 256, n * s_total).astype(np.int32)
+    y = rng.integers(0, 128, n * s_total).astype(np.int32)
+    t = np.sort(rng.integers(0, 10**6, n * s_total)).astype(np.int64) + 1000
+    stream = EventStream(x, y, t, np.zeros(n * s_total, np.int32))
+    slices = slice_by_count(stream, n)
+    W, n_tiles, warmup, cap = 8, 4, 3, 600
+
+    ox, oy, ot, ovalid, emit, armed = temporal.window_tile_events(
+        slices, W, n_tiles, warmup, cfg, capacity=cap)
+    n_emit = -(-slices.num_slices // W)
+    s_win = warmup + n_emit
+    t0 = int(slices.t[0, 0])
+    mask = slices.valid_mask()
+    for w in (0, 3, 7):
+        for s in range(s_win):
+            g = w * n_emit - warmup + s
+            assert emit[w, s] == (s >= warmup)
+            assert armed[w, s] == (g > 0)
+            if g < 0 or g >= slices.num_slices:
+                assert not ovalid[w, :, s].any()
+                continue
+            tx, ty, tt, _tp, cnt = tiling.bucket_by_tile(
+                slices.x[g], slices.y[g],
+                (slices.t[g] - t0).astype(np.int64), slices.p[g],
+                mask[g], n_tiles, cfg.sensor.width, cap)
+            np.testing.assert_array_equal(ox[w, :, s], tx)
+            np.testing.assert_array_equal(oy[w, :, s], ty)
+            np.testing.assert_array_equal(
+                ot[w, :, s], np.clip(tt, 0, 2**31 - 1).astype(np.int32))
+            np.testing.assert_array_equal(
+                ovalid[w, :, s], np.arange(cap)[None, :] < cnt[:, None])
+
+    # per-process loading: window_range == full-output slice, 64 windows
+    ox64, *_rest = temporal.window_tile_events(
+        slices, 64, n_tiles, 2, cfg, capacity=cap)
+    lx, ly, lt, lv, lem, lar = temporal.window_tile_events(
+        slices, 64, n_tiles, 2, cfg, capacity=cap, window_range=range(32, 64))
+    assert lx.shape[0] == 32
+    np.testing.assert_array_equal(lx, ox64[32:])
