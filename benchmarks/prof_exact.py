@@ -18,7 +18,6 @@ from evflow_tpu.config import ClusterConfig
 from evflow_tpu.models import aeclustering as ae
 
 N, S = 16384, 4
-cfg = ClusterConfig()          # szBuffer 800, C 128, M 1024
 rng = np.random.default_rng(0)
 cx = np.array([200, 900, 600]); cy = np.array([200, 500, 150])
 k = rng.integers(0, 3, (S, N))
@@ -28,12 +27,22 @@ ts = jnp.asarray((np.arange(S * N, dtype=np.int32) * 3).reshape(S, N))
 ps = jnp.zeros((S, N), jnp.int32)
 vs = jnp.ones((S, N), bool)
 
+# Two regimes: the flagship accel-app config (radius=40 — each blob forms one
+# stable cluster; AEClustering.cpp accel copy :8-17) and the async-app default
+# (radius=20 < blob span — constant creation/merge thrash, the worst case for
+# speculative blocking).
+CONFIGS = {
+    "accel-r40": ClusterConfig.accel_app(),
+    "async-r20": ClusterConfig(),
+}
+cfg = ClusterConfig()
+
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def run(state, xs, ys, ts, ps, vs, block=0):
+@functools.partial(jax.jit, static_argnames=("block", "cfg"))
+def run(state, xs, ys, ts, ps, vs, block=0, cfg=cfg):
     def step(st, ev):
         x, y, t, p, v = ev
         if block:
@@ -43,17 +52,17 @@ def run(state, xs, ys, ts, ps, vs, block=0):
     return st
 
 
-def measure(label, block=0, reps=3):
+def measure(label, block=0, cfg=cfg, reps=3):
     state = ae.init_state(cfg)
     t0 = time.perf_counter()
-    out = run(state, xs, ys, ts, ps, vs, block)
+    out = run(state, xs, ys, ts, ps, vs, block, cfg)
     jax.block_until_ready(out)
     print(f"[{label}] compile+first: {time.perf_counter() - t0:.1f}s",
           flush=True)
     np.asarray(out.event_id).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run(state, xs, ys, ts, ps, vs, block)
+        out = run(state, xs, ys, ts, ps, vs, block, cfg)
     np.asarray(out.event_id).ravel()[:1]
     dt = (time.perf_counter() - t0) / reps / S
     print(f"[{label}] per-slice {dt*1e3:.1f} ms  ({N/dt/1e3:.1f}k events/s)  "
@@ -61,10 +70,12 @@ def measure(label, block=0, reps=3):
     return out
 
 
-base = measure("per-event")
-for b in (8, 16, 32, 64):
-    out = measure(f"blocked-{b}", block=b)
-    same = all(np.array_equal(np.asarray(getattr(base, f)),
-                              np.asarray(getattr(out, f)))
-               for f in base._fields)
-    print(f"[blocked-{b}] bit-equal to per-event: {same}", flush=True)
+for name, c in CONFIGS.items():
+    base = measure(f"{name} per-event", cfg=c)
+    for b in (16, 32):
+        out = measure(f"{name} blocked-{b}", block=b, cfg=c)
+        same = all(np.array_equal(np.asarray(getattr(base, f)),
+                                  np.asarray(getattr(out, f)))
+                   for f in base._fields)
+        print(f"[{name} blocked-{b}] bit-equal to per-event: {same}",
+              flush=True)
