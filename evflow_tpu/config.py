@@ -205,6 +205,14 @@ class ParallelConfig:
     tile_axis: str = "tile"      # spatial tiles over ICI
     data_axis: str = "data"      # time-window shards over hosts/DCN
     halo: int = 4                # eFAST needs a 4-px halo across tile borders
+    # Tile-local NMS strip-exchange rounds (parallel/tiling.py). Suppression
+    # information flows strictly left->right (tile-major candidate order);
+    # round r gives each tile its left neighbor's strip as of round r-1, so
+    # a deviation from the replicated greedy needs an unbroken suppression
+    # chain spanning (rounds - 1) full tile widths. 2 == the r2 two-pass
+    # scheme; n_tiles == exact fixpoint (tests/test_parallel.py adversarial
+    # chain demonstrates both).
+    nms_exchange_rounds: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

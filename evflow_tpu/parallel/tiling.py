@@ -184,6 +184,42 @@ def init_tiled_corner_state(mesh: Mesh, n_tiles: int,
                             slice_idx=jnp.int32(0))
 
 
+def tile_local_nms(cx, cy, cvalid, axis: str, my, n, x0, tile_w: int,
+                   cfg: EngineConfig):
+    """TILE-LOCAL NMS (r2, generalized r3 per VERDICT item 9). Global
+    candidate order is tile-major (each tile's candidates in local stream
+    order), so suppression information flows strictly LEFT->RIGHT: a
+    candidate's fate depends only on accepted corners in earlier tiles, and
+    box overlap (|dx| <= box_size, tiles wider than 2*box_size — asserted by
+    the builder) limits that to the left neighbor's accepted right strip.
+
+    Round 1 = local greedy NMS; each further round re-runs the local greedy
+    with the left neighbor's CURRENT accepted right strip as an immune
+    prefix. After R rounds, tile k's result is exact unless an unbroken
+    suppression chain of pairwise-overlapping candidates spans (R-1) full
+    tile widths (each extra round propagates boundary information one more
+    tile leftward-to-rightward). cfg.parallel.nms_exchange_rounds = 2 keeps
+    the r2 two-pass cost — O((cap/n_tiles)^2) per tile vs
+    O((n_tiles*cap)^2) replicated; = n_tiles is the exact fixpoint. The
+    adversarial chain in tests/test_parallel.py demonstrates the round-2
+    deviation and its closure at n_tiles rounds."""
+    cap = cfg.nms.max_corners
+    box = cfg.nms.box_size
+    lane = jnp.arange(cap)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    filt = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms)
+    for _ in range(cfg.parallel.nms_exchange_rounds - 1):
+        strip_v = (lane < filt.count) & (filt.x >= x0 + tile_w - box)
+        imm_x = jax.lax.ppermute(filt.x, axis, perm)
+        imm_y = jax.lax.ppermute(filt.y, axis, perm)
+        imm_v = jax.lax.ppermute(strip_v, axis, perm)
+        imm_v = imm_v & (my > 0)      # leftmost tile receives wrapped data
+        filt = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms,
+                                      immune_x=imm_x, immune_y=imm_y,
+                                      immune_valid=imm_v)
+    return filt
+
+
 def corner_tile_body(sl, tracks, slice_idx, xl, yl, tl, vl,
                      axis: str, tile_w: int, cfg: EngineConfig):
     """One tile's slice step of the corner pipeline, for use inside shard_map
@@ -238,31 +274,7 @@ def corner_tile_body(sl, tracks, slice_idx, xl, yl, tl, vl,
     cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
 
     n_corners = jax.lax.psum(n_local, axis)
-
-    # ---- TILE-LOCAL NMS (r2, VERDICT item 9). Global candidate order is
-    # tile-major (each tile's candidates in local stream order). Cross-tile
-    # suppression can only reach across one boundary (box overlap needs
-    # |dx| <= box_size and tiles are wider than 2*box_size — asserted by the
-    # builder): pass 1 = local greedy NMS, pass 2 = local greedy with the
-    # left neighbor's accepted right strip as an immune prefix. This equals
-    # the single replicated greedy over the tile-major concatenation at
-    # O(cap_local^2) per tile instead of O((n_tiles*cap)^2) replicated,
-    # EXCEPT when an unbroken suppression chain of pairwise-overlapping
-    # candidates spans a tile's whole interior (>= tile_w/box_size chained
-    # accept-flips propagating a left-boundary change into the right strip)
-    # — then the strip the neighbor saw was pre-exchange. Documented
-    # deviation; never observed on test scenes (tests/test_ops.py).
-    box = cfg.nms.box_size
-    filt1 = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms)
-    lane = jnp.arange(cap)
-    strip_v = (lane < filt1.count) & (filt1.x >= x0 + tile_w - box)
-    imm_x = jax.lax.ppermute(filt1.x, axis, [(i, (i + 1) % n) for i in range(n)])
-    imm_y = jax.lax.ppermute(filt1.y, axis, [(i, (i + 1) % n) for i in range(n)])
-    imm_v = jax.lax.ppermute(strip_v, axis, [(i, (i + 1) % n) for i in range(n)])
-    imm_v = imm_v & (my > 0)          # leftmost tile receives wrapped data
-    filt = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms,
-                                  immune_x=imm_x, immune_y=imm_y,
-                                  immune_valid=imm_v)
+    filt = tile_local_nms(cx, cy, cvalid, axis, my, n, x0, tile_w, cfg)
 
     # gather only the SURVIVORS (compact per tile) for the replicated tracker
     sx = jax.lax.all_gather(filt.x, axis).reshape(-1)

@@ -127,3 +127,81 @@ print('distributed equivalence ok')
     r = _run_cpu8(code)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "distributed equivalence ok" in r.stdout
+
+
+@pytest.mark.slow
+def test_adversarial_nms_chain():
+    """VERDICT r2 item 9: an unbroken suppression chain of pairwise-
+    overlapping candidates (14 px apart at box 15) spanning several tiles.
+    A trigger corner in tile 0's right strip flips the whole chain's greedy
+    alternation. The r2 two-pass tile-local NMS (nms_exchange_rounds=2) must
+    DEVIATE from the replicated greedy on this chain (the acknowledged
+    window, now exercised), and n_tiles rounds must close it exactly."""
+    code = """
+import dataclasses
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+from evflow_tpu.config import EngineConfig, SensorConfig, NMSConfig, ParallelConfig
+from evflow_tpu.parallel import mesh as mesh_mod, tiling
+from evflow_tpu.ops import nms as nms_ops
+
+n_dev, tile_w, cap = 4, 64, 32
+base = EngineConfig(sensor=SensorConfig(width=tile_w * n_dev, height=128),
+                    nms=NMSConfig(box_size=15, max_corners=cap))
+m = mesh_mod.make_tile_mesh(n_dev, base.parallel)
+
+# candidates: trigger at x=50 (tile 0 right strip), then a 14-px chain
+# spanning tiles 1..3; all y=60
+chain = [50] + list(range(64, tile_w * n_dev - 8, 14))
+ys_ = [60] * len(chain)
+
+# per-tile arrays in tile-major order
+px = np.zeros((n_dev, cap), np.int32)
+py = np.zeros((n_dev, cap), np.int32)
+pv = np.zeros((n_dev, cap), bool)
+fill = [0] * n_dev
+for cx_, cy_ in zip(chain, ys_):
+    k = min(cx_ // tile_w, n_dev - 1)
+    px[k, fill[k]] = cx_; py[k, fill[k]] = cy_; pv[k, fill[k]] = True
+    fill[k] += 1
+
+def run(rounds):
+    cfg = dataclasses.replace(
+        base, parallel=dataclasses.replace(base.parallel,
+                                           nms_exchange_rounds=rounds))
+    axis = cfg.parallel.tile_axis
+    def per_tile(x, y, v):
+        my = jax.lax.axis_index(axis)
+        filt = tiling.tile_local_nms(x[0], y[0], v[0], axis, my,
+                                     n_dev, my * tile_w, tile_w, cfg)
+        return filt.x[None], (jnp.arange(cap) < filt.count)[None]
+    sm = shard_map(per_tile, mesh=m,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis)), check_vma=False)
+    fx, fv = jax.jit(sm)(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pv))
+    fx, fv = np.asarray(fx), np.asarray(fv)
+    return sorted(int(v) for k in range(n_dev) for v in fx[k][fv[k]])
+
+# replicated greedy over the tile-major concatenation (ground truth)
+gx = np.concatenate([px[k, :fill[k]] for k in range(n_dev)])
+gy = np.concatenate([py[k, :fill[k]] for k in range(n_dev)])
+rx = np.zeros(cap * 2, np.int32); rx[:len(gx)] = gx
+ry = np.zeros(cap * 2, np.int32); ry[:len(gy)] = gy
+rv = np.arange(cap * 2) < len(gx)
+ref = nms_ops.filter_corners(jnp.asarray(rx), jnp.asarray(ry),
+                             jnp.asarray(rv), base.nms)
+truth = sorted(int(v) for v in np.asarray(ref.x)[:int(ref.count)])
+
+two_pass = run(2)
+fixpoint = run(n_dev)
+print("truth:   ", truth)
+print("2-pass:  ", two_pass)
+print("fixpoint:", fixpoint)
+assert fixpoint == truth, (fixpoint, truth)
+assert two_pass != truth, "adversarial chain failed to expose the 2-pass window"
+print("NMS-CHAIN-OK")
+"""
+    r = _run_cpu8(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "NMS-CHAIN-OK" in r.stdout
