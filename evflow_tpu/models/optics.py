@@ -27,6 +27,7 @@ import dataclasses
 import functools
 import heapq
 import math
+import warnings
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -533,6 +534,14 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
     "grid" = grid-bucketed neighbors (projected to the first 3 dims when
     d > 3), "dense" = tiled O(N²) distance panels, "auto" = cellpair at
     d<=2, else grid, else dense — each falling through when it declines.
+
+    Neighborhoods larger than max_neighbors keep only the nearest K
+    (reachability relaxations to the dropped FAR neighbors are lost; in
+    dense scenes those points are relaxed through closer intermediates —
+    error quantified in tests/test_optics.py::test_neighbor_cap_truncation).
+    When the true max neighborhood exceeds K, the table is recomputed once
+    with K raised to cover it (up to auto_raise_cap — the (N, K) panels are
+    the memory cost), else a RuntimeWarning reports the truncation.
     """
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
@@ -542,24 +551,49 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
         epsilon = epsilon_estimation(points, min_pts)
     assert epsilon > 0
 
-    table = None
-    if method == "cellpair" or (method == "auto" and points.shape[1] <= 2):
-        table = compute_neighbors_cellpair(points, epsilon, min_pts,
-                                           max_neighbors=max_neighbors)
-        if table is None and method == "cellpair":
-            raise ValueError("cell-pair neighbor search does not apply "
-                             "(dim > 4, degenerate grid, or over-dense cells)")
-    if table is None and method in ("auto", "grid"):
-        table = compute_neighbors_grid(points, epsilon, min_pts,
-                                       max_neighbors=max_neighbors,
-                                       approx=approx)
-        if table is None and method == "grid":
-            raise ValueError("grid neighbor search does not apply "
-                             "(degenerate grid or over-dense cells)")
-    if table is None:
-        table = compute_neighbors(points, epsilon, min_pts,
-                                  max_neighbors=max_neighbors, block=block,
-                                  approx=approx)
+    def build(max_neighbors):
+        table = None
+        if method == "cellpair" or (method == "auto" and points.shape[1] <= 2):
+            table = compute_neighbors_cellpair(points, epsilon, min_pts,
+                                               max_neighbors=max_neighbors)
+            if table is None and method == "cellpair":
+                raise ValueError("cell-pair neighbor search does not apply "
+                                 "(dim > 4, degenerate grid, or over-dense cells)")
+        if table is None and method in ("auto", "grid"):
+            table = compute_neighbors_grid(points, epsilon, min_pts,
+                                           max_neighbors=max_neighbors,
+                                           approx=approx)
+            if table is None and method == "grid":
+                raise ValueError("grid neighbor search does not apply "
+                                 "(degenerate grid or over-dense cells)")
+        if table is None:
+            table = compute_neighbors(points, epsilon, min_pts,
+                                      max_neighbors=max_neighbors, block=block,
+                                      approx=approx)
+        return table
+
+    table = build(max_neighbors)
+    max_cnt = int(np.asarray(table.count).max()) if n else 0
+    k_eff = table.idx.shape[1]
+    if max_cnt > k_eff:
+        # (N, K) panel memory bound: <= 256M entries and K <= 1024
+        auto_raise_cap = max(k_eff, min(1024, (256 << 20) // max(n, 1)))
+        k_new = min(_next_pow2(max_cnt), n, auto_raise_cap)
+        if k_new > k_eff:
+            warnings.warn(
+                f"OPTICS neighbor cap {k_eff} < max neighborhood {max_cnt}; "
+                f"recomputing with max_neighbors={k_new}", RuntimeWarning)
+            table = build(k_new)
+            max_cnt2 = int(np.asarray(table.count).max())
+            k_eff = table.idx.shape[1]
+            max_cnt = max_cnt2
+        if max_cnt > k_eff:
+            warnings.warn(
+                f"OPTICS neighborhoods truncated: cap {k_eff} < max true "
+                f"neighborhood {max_cnt} — reachability of far neighbors "
+                f"relaxes only through closer intermediates (error bound: "
+                f"tests/test_optics.py::test_neighbor_cap_truncation)",
+                RuntimeWarning)
     nbr_idx = np.asarray(table.idx)
     nbr_dist = np.asarray(table.dist, dtype=np.float64)
     core_dist = np.asarray(table.core_dist, dtype=np.float64)
