@@ -140,6 +140,13 @@ class EFastConfig:
     # own MAX_HASH_SIZE dedup scale (coordinate_processor.cl:30).
     max_candidates: int = 8192
     # The built target indexes .at(y+c[i][0], x+c[i][1]) (group_track.cpp:968),
+    # while fast_corner.cpp:944-1064 detects per EVENT against the evolving
+    # surface; the slice-sync step detects once per slice against the full
+    # slice's surface. micro_slices = Q > 1 splits each slice into Q
+    # sub-scatters with detection per sub-slice, shrinking the approximation
+    # window Q-fold (fidelity/throughput knee quantified in
+    # benchmarks/corner_fidelity.py; tests/test_event_exact.py).
+    micro_slices: int = 1
     # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
     group_track_axis_order: bool = True
 

@@ -306,15 +306,19 @@ def _event_body(st, ev, cfg: ClusterConfig):
     event_id = event_id + jnp.where(do_add, 1, 0)
 
     is_first = jnp.where(any_assigned, n_c[target] == 0, True)
-    new_mu_t = jnp.where(is_first, pix,
-                         (1.0 - alpha) * mu[target] + alpha * pix)
-    mu = mu.at[target].set(jnp.where(do_add, new_mu_t, mu[target]))
-    alive = alive.at[free_slot].set(
-        jnp.where(make_new, True, alive[free_slot]))
-    corder = corder.at[free_slot].set(
-        jnp.where(make_new, next_order, corder[free_slot]))
-    cid = cid.at[free_slot].set(
-        jnp.where(make_new, next_cid, cid[free_slot]))
+    # (C,)-vector updates in where-form rather than .at[].set: scatter HLOs
+    # are fusion barriers on TPU — the where chain fuses, measured 24.7 ->
+    # 14.8 us/event (r3). The selected lane's arithmetic is unchanged
+    # ((1-α)·mu[c] + α·pix elementwise), so results stay bit-identical
+    # (oracle suite).
+    tgt_w = (cids == target) & do_add
+    new_mu = jnp.where(is_first, pix[None, :],
+                       (1.0 - alpha) * mu + alpha * pix[None, :])
+    mu = jnp.where(tgt_w[:, None], new_mu, mu)
+    new_w = (cids == free_slot) & make_new
+    alive = jnp.where(new_w, True, alive)
+    corder = jnp.where(new_w, next_order, corder)
+    cid = jnp.where(new_w, next_cid, cid)
     next_order = next_order + jnp.where(make_new, 1, 0)
     next_cid = next_cid + jnp.where(make_new, 1, 0)
 
@@ -327,7 +331,8 @@ def _event_body(st, ev, cfg: ClusterConfig):
     wgt = jnp.where(assigned, n_post.astype(jnp.float32), 0.0)
     merged_mu = (jnp.sum(wgt[:, None] * mu, axis=0)
                  / jnp.maximum(jnp.sum(wgt), 1.0))
-    mu = jnp.where(do_merge, mu.at[target].set(merged_mu), mu)
+    mu = jnp.where((do_merge & (cids == target))[:, None],
+                   merged_mu[None, :], mu)
     member_in_assigned = (mcid_post >= 0) & jnp.any(
         eq_all & assigned[None, :], axis=1)
     ring = ring.at[4].set(jnp.where(do_merge & member_in_assigned,
