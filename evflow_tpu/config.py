@@ -90,10 +90,16 @@ class ClusterConfig:
     min_n: int = 5               # minimum membership for reporting
     max_clusters: int = 128      # fixed capacity (TPU-side; clusters are masked)
     max_members: int = 1024      # fixed capacity for the member ring buffer
-    # Exact engine: events per lax.scan step (bit-equal blocked execution,
-    # aeclustering.update_slice_blocked). 0 = per-event scan. TPU-impl knob;
-    # requires kappa == 0 (the deployed default), else ignored.
-    exact_block: int = 16
+    # Exact engine: events per lax.scan step (bit-equal blocked execution
+    # with speculative fast path + per-event fallback,
+    # aeclustering.update_slice_blocked). 0 = per-event scan — the measured
+    # default: on TPU the speculation loses whenever >~2%% of events create/
+    # merge/empty a cluster (one hazard poisons a whole block; measured
+    # 295 vs 280 ms/slice even in the calm accel regime, r3 — blob-edge
+    # satellite creation/merge churn keeps block hazard rates at 40-90%%).
+    # Kept as an opt-in for genuinely stable-cluster streams.
+    # Requires kappa == 0 (the deployed default), else ignored.
+    exact_block: int = 0
 
     @staticmethod
     def async_app() -> "ClusterConfig":

@@ -243,6 +243,37 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
                             slice_idx=state.slice_idx + 1), out
 
 
+def _representative_candidates(new_sae, x, y, t, valid, m,
+                               cfg: EngineConfig):
+    """Compact one representative lane per touched pixel (the pixel's newest
+    event) to m candidate lanes. Returns (cx, cy, cvalid, n_dropped)."""
+    rep = valid & (new_sae[y, x] == t)       # newest event per pixel
+    # Equal-timestamp tie-break: same-pixel events in the same microsecond
+    # (e.g. opposite polarities) all satisfy sae==t; keep only the LAST
+    # lane so duplicates don't erode the candidate budget. A full-res
+    # last-lane plane would cost a second (H, W) scatter, so lane indices
+    # go into the dedup-sized hash table instead — on a bucket collision
+    # between distinct pixels both lanes stay rep (the pre-fix behavior,
+    # still NMS-deduped at distance 0); never a false drop.
+    nb = cfg.dedup.num_buckets
+    lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
+    hkey = (x * cfg.dedup.hash_mul_x + y * cfg.dedup.hash_mul_y) % nb
+    last = jnp.full((nb,), -1, jnp.int32).at[
+        jnp.where(rep, hkey, nb)].max(lanes, mode="drop")
+    bl = jnp.maximum(last[hkey], 0)
+    rep = rep & ((bl == lanes) | (x[bl] != x) | (y[bl] != y))
+    n_rep = jnp.sum(rep.astype(jnp.int32))
+    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    keep = rep & (pos < m)
+    spos = jnp.where(keep, pos, m)
+    cx = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
+        jnp.where(keep, x, 0), mode="drop")[:m]
+    cy = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
+        jnp.where(keep, y, 0), mode="drop")[:m]
+    cvalid = jnp.arange(m) < jnp.minimum(n_rep, m)
+    return cx, cy, cvalid, jnp.maximum(n_rep - m, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def corner_track_step(
     state: CornerTrackState,
@@ -270,38 +301,44 @@ def corner_track_step(
     stream position), and overflow beyond the cap drops candidates in
     stream order.
     """
-    new_sae = sae_ops.update_sae(state.sae, x, y, t, valid)
     m = cfg.efast.max_candidates
+    q = cfg.efast.micro_slices
+    if q > 1 and x.shape[0] % q == 0 and m:
+        # Micro-slice mode (r3, VERDICT item 3): split the slice into q
+        # sub-scatters with detection per sub-slice — each event's detection
+        # sees at most one sub-slice of "future" writes instead of the whole
+        # slice, shrinking the slice-sync approximation window q-fold at the
+        # cost of q sequential SAE scatters + detections. Fidelity/throughput
+        # curve: benchmarks/corner_fidelity.py.
+        nsub = x.shape[0] // q
+        m_sub = max(m // q, 64)
+
+        def sub(sae, ev):
+            sx, sy, st_, sv = ev
+            sae = sae_ops.update_sae(sae, sx, sy, st_, sv)
+            scx, scy, scv, sdrop = _representative_candidates(
+                sae, sx, sy, st_, sv, m_sub, cfg)
+            mask = efast.detect_corners(sae, scx, scy, scv,
+                                        cfg.efast, cfg.sensor)
+            return sae, (scx, scy, mask, sdrop)
+
+        new_sae, (cxs, cys, masks, drops) = jax.lax.scan(
+            sub, state.sae,
+            (x.reshape(q, nsub), y.reshape(q, nsub),
+             t.reshape(q, nsub), valid.reshape(q, nsub)))
+        corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
+        return _corners_to_tracks(corner_mask, cxs.reshape(-1),
+                                  cys.reshape(-1), state, new_sae, cfg,
+                                  n_dropped=jnp.sum(drops))
+    new_sae = sae_ops.update_sae(state.sae, x, y, t, valid)
     if m and m < x.shape[0]:
-        rep = valid & (new_sae[y, x] == t)       # newest event per pixel
-        # Equal-timestamp tie-break: same-pixel events in the same microsecond
-        # (e.g. opposite polarities) all satisfy sae==t; keep only the LAST
-        # lane so duplicates don't erode the candidate budget. A full-res
-        # last-lane plane would cost a second (H, W) scatter, so lane indices
-        # go into the dedup-sized hash table instead — on a bucket collision
-        # between distinct pixels both lanes stay rep (the pre-fix behavior,
-        # still NMS-deduped at distance 0); never a false drop.
-        nb = cfg.dedup.num_buckets
-        lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
-        hkey = (x * cfg.dedup.hash_mul_x + y * cfg.dedup.hash_mul_y) % nb
-        last = jnp.full((nb,), -1, jnp.int32).at[
-            jnp.where(rep, hkey, nb)].max(lanes, mode="drop")
-        bl = jnp.maximum(last[hkey], 0)
-        rep = rep & ((bl == lanes) | (x[bl] != x) | (y[bl] != y))
-        n_rep = jnp.sum(rep.astype(jnp.int32))
-        pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
-        keep = rep & (pos < m)
-        spos = jnp.where(keep, pos, m)
-        cx = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
-            jnp.where(keep, x, 0), mode="drop")[:m]
-        cy = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
-            jnp.where(keep, y, 0), mode="drop")[:m]
-        cvalid = jnp.arange(m) < jnp.minimum(n_rep, m)
+        cx, cy, cvalid, n_dropped = _representative_candidates(
+            new_sae, x, y, t, valid, m, cfg)
         corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
                                            cfg.efast, cfg.sensor)
         corner_mask = corner_mask & (state.slice_idx > 0)
         return _corners_to_tracks(corner_mask, cx, cy, state, new_sae, cfg,
-                                  n_dropped=jnp.maximum(n_rep - m, 0))
+                                  n_dropped=n_dropped)
     corner_mask = efast.detect_corners(new_sae, x, y, valid, cfg.efast, cfg.sensor)
     corner_mask = corner_mask & (state.slice_idx > 0)
     return _corners_to_tracks(corner_mask, x, y, state, new_sae, cfg)

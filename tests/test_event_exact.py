@@ -201,3 +201,79 @@ def test_candidate_overflow_signal_and_tie_break():
         pipeline.init_corner_state(cfg), jnp.asarray(x[:16]),
         jnp.asarray(y[:16]), jnp.asarray(t[:16]), jnp.asarray(v[:16]), cfg)
     assert int(out3.num_dropped) == 0
+
+
+def test_micro_slice_fidelity_improves_on_slice_sync():
+    """VERDICT r2 item 3: micro-slice mode (q sub-scatters with detection per
+    sub-slice) must close the gap between the slice-sync detector and the
+    per-event-exact reference semantics monotonically-ish: q=8 within-box
+    agreement >= 0.9 on the repainted-wedge scene where slice-sync measured
+    ~0.7, and q=8 strictly beats q=1."""
+    import dataclasses
+    from evflow_tpu.ops import sae as sae_ops, efast
+
+    def detect_sets(q):
+        """Pre-NMS corner-pixel sets per slice for micro_slices=q."""
+        cfgq = dataclasses.replace(
+            CFG, efast=dataclasses.replace(CFG.efast, micro_slices=q,
+                                           max_candidates=2048))
+        sae = sae_ops.init_sae(cfgq.sensor)
+        out = []
+        cx, cy = 50, 50
+        for s in range(8):
+            x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), n=2048, seed=s)
+            xv, yv, tv = jnp.asarray(x), jnp.asarray(y), jnp.asarray(t)
+            pix = set()
+            nsub = len(x) // q
+            for k in range(q):
+                sl = slice(k * nsub, (k + 1) * nsub)
+                sae = sae_ops.update_sae(sae, xv[sl], yv[sl], tv[sl],
+                                         jnp.ones(nsub, bool))
+                scx, scy, scv, _ = pipeline._representative_candidates(
+                    sae, xv[sl], yv[sl], tv[sl], jnp.ones(nsub, bool),
+                    2048 // q, cfgq)
+                mask = np.asarray(efast.detect_corners(
+                    sae, scx, scy, scv, cfgq.efast, cfgq.sensor))
+                if s > 0:
+                    sx, sy_ = np.asarray(scx), np.asarray(scy)
+                    pix |= {(int(a), int(b))
+                            for a, b in zip(sx[mask], sy_[mask])}
+            out.append(pix)
+            cx += 6
+        return out
+
+    def exact_sets():
+        sae = sae_ops.init_sae(CFG.sensor)
+        out = []
+        cx, cy = 50, 50
+        for s in range(8):
+            x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), n=2048, seed=s)
+            sae, m = pipeline.event_exact_corner_mask(
+                sae, jnp.asarray(x), jnp.asarray(y), jnp.asarray(t),
+                jnp.ones(len(x), bool), jnp.bool_(s > 0), CFG)
+            m = np.asarray(m)
+            out.append({(int(a), int(b)) for a, b in zip(x[m], y[m])})
+            cx += 6
+        return out
+
+    ex = exact_sets()
+
+    def within_box(sets):
+        hits = tot = 0
+        for e, g in zip(ex, sets):
+            if not e:
+                continue
+            ga = np.array(sorted(g), float).reshape(-1, 2)
+            for p in e:
+                tot += 1
+                if len(ga) and np.abs(ga - np.array(p, float)).max(1).min() \
+                        <= CFG.nms.box_size:
+                    hits += 1
+        return hits / max(tot, 1)
+
+    agree1 = within_box(detect_sets(1))
+    agree8 = within_box(detect_sets(8))
+    assert agree8 >= 0.9, (agree1, agree8)
+    assert agree8 > agree1, (agree1, agree8)
+    print(f"within-box agreement vs event-exact: q=1 {agree1:.2f}, "
+          f"q=8 {agree8:.2f}")
