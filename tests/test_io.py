@@ -179,3 +179,61 @@ def test_evt3_load_dispatch(tmp_path):
     r = load(path)     # '%' magic routes .raw to the EVT3 decoder
     assert len(r) == len(s)
     np.testing.assert_array_equal(r.x, s.x)
+
+
+def test_evt3_spec_word_vector():
+    """Byte-level EVT3 conformance vector, hand-constructed word by word from
+    the published EVT 3.0 word table (OpenEB evt3_raw_format.h) — NOT via
+    save_evt3, so an encoder/decoder shared misreading cannot pass it
+    (VERDICT r2 item 4 best-effort: no genuine recording is reachable from
+    this build environment — zero egress, none vendored; see docs/PARITY.md).
+    Covers: TIME_HIGH/LOW assembly, ADDR_Y with the master bit set (must be
+    masked), single CD events, VECT_BASE_X + VECT_12 + VECT_8 with sparse
+    masks and the implicit base advance (+12/+8 per vector word), inert
+    EXT_TRIGGER/OTHERS/CONTINUED words, and a TIME_HIGH wrap epoch."""
+    import numpy as np
+    from evflow_tpu.io import evt3
+
+    words = [
+        0x8000 | 0x005,              # TIME_HIGH = 5  -> 5 << 12
+        0x6000 | 0x0A0,              # TIME_LOW = 160 -> t = 20640
+        0x0000 | 100,                # ADDR_Y y=100
+        0x2000 | (1 << 11) | 400,    # CD x=400 p=1
+        0xA000 | 0x003,              # EXT_TRIGGER (no CD)
+        0x3000 | (0 << 11) | 600,    # VECT_BASE_X base=600 p=0
+        0x4000 | 0b100000000101,     # VECT_12 bits {0,2,11} -> 600,602,611
+        0x5000 | 0b10000001,         # VECT_8 bits {0,7} -> 612,619 (base+=12)
+        0x6000 | 0x0B0,              # TIME_LOW = 176 -> t = 20656
+        0xE000 | 0x123,              # OTHERS (no CD)
+        0xF000 | 0x456,              # CONTINUED_12 (no CD)
+        0x4000 | 0b1,                # VECT_12 bit {0} -> 620 (base 600+12+8)
+        0x0000 | (1 << 11) | 50,     # ADDR_Y y=50 with MASTER bit set
+        0x2000 | (0 << 11) | 0x7FF,  # CD x=2047 p=0
+        0x8000 | 0x006,              # TIME_HIGH = 6
+        0x6000 | 0x000,              # t = 24576
+        0x2000 | (1 << 11) | 10,     # CD x=10 p=1
+        0x8000 | 0x000,              # TIME_HIGH wraps 6 -> 0: +2^24 epoch
+        0x6000 | 0x001,              # t = 2^24 + 1
+        0x2000 | (0 << 11) | 7,      # CD x=7 p=0
+    ]
+    payload = np.asarray(words, dtype="<u2").tobytes()
+    expected = [
+        (400, 100, 20640, 1),
+        (600, 100, 20640, 0), (602, 100, 20640, 0), (611, 100, 20640, 0),
+        (612, 100, 20640, 0), (619, 100, 20640, 0),
+        (620, 100, 20656, 0),
+        (2047, 50, 20656, 0),
+        (10, 50, 24576, 1),
+        (7, 50, (1 << 24) + 1, 0),
+    ]
+
+    x, y, t, p = evt3.decode_evt3_numpy(payload)
+    got = list(zip(x.tolist(), y.tolist(), t.tolist(), p.tolist()))
+    assert got == expected, got
+
+    from evflow_tpu import native
+    res = native.decode_evt3(payload)
+    if res is not None:
+        nx, ny, nt, np_ = res
+        got_n = list(zip(nx.tolist(), ny.tolist(), nt.tolist(), np_.tolist()))
+        assert got_n == expected, got_n
