@@ -155,6 +155,13 @@ class EFastConfig:
     micro_slices: int = 1
     # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
     group_track_axis_order: bool = True
+    # Detection backend for the slice-sync step: True = dense per-band stencil
+    # (Pallas kernel on TPU — the whole mask in one fused pass, bands without
+    # events predicated off; banded XLA elsewhere; bit-identical to the ring
+    # gather, r3 measured 1.61 vs 2.02 ms/slice on blob scenes). False = the
+    # r2 8x8-block ring gather (candidate-count-proportional; used by the
+    # micro-slice and tiled paths regardless).
+    dense_detect: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -249,19 +249,18 @@ def _representative_candidates(new_sae, x, y, t, valid, m,
     event) to m candidate lanes. Returns (cx, cy, cvalid, n_dropped)."""
     rep = valid & (new_sae[y, x] == t)       # newest event per pixel
     # Equal-timestamp tie-break: same-pixel events in the same microsecond
-    # (e.g. opposite polarities) all satisfy sae==t; keep only the LAST
-    # lane so duplicates don't erode the candidate budget. A full-res
-    # last-lane plane would cost a second (H, W) scatter, so lane indices
-    # go into the dedup-sized hash table instead — on a bucket collision
-    # between distinct pixels both lanes stay rep (the pre-fix behavior,
-    # still NMS-deduped at distance 0); never a false drop.
-    nb = cfg.dedup.num_buckets
-    lanes = jnp.arange(x.shape[0], dtype=jnp.int32)
-    hkey = (x * cfg.dedup.hash_mul_x + y * cfg.dedup.hash_mul_y) % nb
-    last = jnp.full((nb,), -1, jnp.int32).at[
-        jnp.where(rep, hkey, nb)].max(lanes, mode="drop")
-    bl = jnp.maximum(last[hkey], 0)
-    rep = rep & ((bl == lanes) | (x[bl] != x) | (y[bl] != y))
+    # (opposite polarities) all satisfy sae==t and would each consume a
+    # candidate lane. Cameras emit such duplicates CONSECUTIVELY, so drop a
+    # rep lane whose immediate successor is the same (x, y, t) — four
+    # elementwise ops (an exact last-lane table via a hashed scatter+gathers
+    # measured 0.36 ms/slice in the fused scan, r3 — 13% of the whole
+    # pipeline; non-adjacent equal-t duplicates are rare enough to just
+    # spend budget, and post-NMS output is unaffected either way).
+    nxt = jnp.roll(jnp.stack([x, y, t, valid.astype(jnp.int32)]), -1, axis=1)
+    dup_next = valid & (nxt[3] != 0) & (nxt[0] == x) & (nxt[1] == y) \
+        & (nxt[2] == t)
+    dup_next = dup_next.at[-1].set(False)
+    rep = rep & ~dup_next
     n_rep = jnp.sum(rep.astype(jnp.int32))
     pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
     keep = rep & (pos < m)
@@ -334,8 +333,15 @@ def corner_track_step(
     if m and m < x.shape[0]:
         cx, cy, cvalid, n_dropped = _representative_candidates(
             new_sae, x, y, t, valid, m, cfg)
-        corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
-                                           cfg.efast, cfg.sensor)
+        if cfg.efast.dense_detect:
+            # dense per-band stencil (Pallas on TPU): mask computed once for
+            # the slice's touched bands, candidates look it up — replaces the
+            # candidate-count-proportional ring gather (r3: 1.61 vs 2.02 ms)
+            corner_mask = efast.detect_corners_dense(
+                new_sae, y, valid, cx, cy, cvalid, cfg.efast, cfg.sensor)
+        else:
+            corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
+                                               cfg.efast, cfg.sensor)
         corner_mask = corner_mask & (state.slice_idx > 0)
         return _corners_to_tracks(corner_mask, cx, cy, state, new_sae, cfg,
                                   n_dropped=n_dropped)

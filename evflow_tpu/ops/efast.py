@@ -194,6 +194,237 @@ def _streak_any(ring: jnp.ndarray, smin: int, smax: int) -> jnp.ndarray:
     return found
 
 
+def _sliding_axis0(x: jnp.ndarray, length: int, op) -> jnp.ndarray:
+    """_sliding along axis 0 (for (R, H, W) ring planes)."""
+    w = x.shape[0]
+    assert 1 <= length <= w, (length, w)
+    p, cur = 1, x
+    while 2 * p <= length:
+        cur = op(cur[:-p], cur[p:])
+        p *= 2
+    out_w = w - length + 1
+    if p < length:
+        cur = op(cur[:out_w], cur[length - p:length - p + out_w])
+    else:
+        cur = cur[:out_w]
+    return cur
+
+
+def _streak_any_planes(rg: jnp.ndarray, smin: int, smax: int) -> jnp.ndarray:
+    """_streak_any evaluated densely: rg is (R, H, W) ring planes (rg[i][y, x]
+    = sae[y + dy_i, x + dx_i]); returns (H, W) bool."""
+    r = rg.shape[0]
+    assert 1 <= smin <= smax < r, (smin, smax, r)
+    rg2 = jnp.concatenate([rg, rg], axis=0)
+    cond1 = rg >= jnp.concatenate([rg[-1:], rg[:-1]], axis=0)
+    found = jnp.zeros(rg.shape[1:], bool)
+    for s in range(smin, smax + 1):
+        arc_min = _sliding_axis0(rg2, s, jnp.minimum)[:r]
+        off_max = _sliding_axis0(rg2, r - s, jnp.maximum)[s:s + r]
+        cond2 = rg2[s - 1:s - 1 + r] >= rg2[s:s + r]
+        ok = cond1 & cond2 & (off_max < arc_min)
+        found = found | jnp.any(ok, axis=0)
+    return found
+
+
+def corner_mask_dense(sae: jnp.ndarray, cfg: EFastConfig = EFastConfig(),
+                      sensor: SensorConfig = SensorConfig()) -> jnp.ndarray:
+    """Dense eFAST: the corner mask for EVERY pixel of the SAE at once.
+
+    Instead of gathering 36 ring pixels per candidate (descriptor-rate-bound
+    on the TPU gather unit — ops/efast.py:_gather_rings_block), build each
+    ring position as a SHIFTED COPY of the whole SAE plane and evaluate the
+    streak tests as elementwise reductions over (R, H, W) panels — zero
+    gathers, pure VPU work proportional to the image, independent of the
+    candidate count. At 8192 candidates/slice this wins outright (measured,
+    benchmarks/prof_efast.py); candidates then just look up mask[y, x].
+    Border pixels (< cfg.border from any edge) are False, matching
+    detect_corners' candidacy gate. Bit-identical streak semantics — the
+    plane ops are the same _streak_any reductions transposed."""
+    dyx = np.concatenate([CIRCLE3, CIRCLE4])
+    dy = dyx[:, 0].copy()
+    dx = dyx[:, 1].copy()
+    if not cfg.group_track_axis_order:
+        dy, dx = dx, dy
+    h, w = sae.shape
+    # plane i holds sae[y + dy_i, x + dx_i]; borders masked below so the
+    # roll wrap never reaches a reported pixel
+    planes = jnp.stack([jnp.roll(sae, (-int(a), -int(b)), (0, 1))
+                        for a, b in zip(dy, dx)])
+    n3 = len(CIRCLE3)
+    found3 = _streak_any_planes(planes[:n3], cfg.streak3_min, cfg.streak3_max)
+    found4 = _streak_any_planes(planes[n3:], cfg.streak4_min, cfg.streak4_max)
+    cs = cfg.border
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    in_b = (xx >= cs) & (xx < sensor.width - cs) & (yy >= cs) \
+        & (yy < sensor.height - cs)
+    return found3 & found4 & in_b
+
+
+def _band_mask(slab: jnp.ndarray, bh: int, w: int, cfg: EFastConfig):
+    """eFAST mask for one y-band from its (bh+8, w+8) halo slab: all 36 ring
+    planes are STATIC slices of the slab (no gathers, no rolls), the streak
+    tests elementwise reductions over them. Shared by the banded-XLA and
+    Pallas dense detectors."""
+    dyx = np.concatenate([CIRCLE3, CIRCLE4])
+    dy = dyx[:, 0].copy()
+    dx = dyx[:, 1].copy()
+    if not cfg.group_track_axis_order:
+        dy, dx = dx, dy
+    planes = jnp.stack([
+        jax.lax.slice(slab, (4 + int(a), 4 + int(b)),
+                      (4 + int(a) + bh, 4 + int(b) + w))
+        for a, b in zip(dy, dx)])
+    n3 = len(CIRCLE3)
+    f3 = _streak_any_planes(planes[:n3], cfg.streak3_min, cfg.streak3_max)
+    f4 = _streak_any_planes(planes[n3:], cfg.streak4_min, cfg.streak4_max)
+    return f3 & f4
+
+
+def corner_mask_dense_banded(sae: jnp.ndarray,
+                             cfg: EFastConfig = EFastConfig(),
+                             sensor: SensorConfig = SensorConfig(),
+                             band: int = 8) -> jnp.ndarray:
+    """corner_mask_dense evaluated in y-bands via lax.map so intermediates
+    stay band-sized (the whole-image plane stack is HBM-bound: measured
+    20.8 ms vs 1.0 ms banded, benchmarks/prof_efast.py)."""
+    h, w = sae.shape
+    assert h % band == 0, (h, band)
+    pad = jnp.pad(sae, ((4, 4), (4, 4)))
+
+    def one(i):
+        slab = jax.lax.dynamic_slice(pad, (i * band, 0), (band + 8, w + 8))
+        return _band_mask(slab, band, w, cfg)
+
+    mask = jax.lax.map(one, jnp.arange(h // band)).reshape(h, w)
+    cs = cfg.border
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    in_b = (xx >= cs) & (xx < sensor.width - cs) & (yy >= cs) \
+        & (yy < sensor.height - cs)
+    return mask & in_b
+
+
+def corner_mask_dense_pallas(sae: jnp.ndarray,
+                             cfg: EFastConfig = EFastConfig(),
+                             sensor: SensorConfig = SensorConfig(),
+                             band: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Pallas dense eFAST (VERDICT r2 item 6): one fused kernel per y-band —
+    the padded SAE resident in VMEM, ring planes as in-register static
+    slices, streak masks as fused VPU reductions, one (band, W) int32 mask
+    write per grid step. Zero HBM round-trips for intermediates by
+    construction (the property the XLA whole-image form lacks)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = sae.shape
+    assert h % band == 0, (h, band)
+    pad = jnp.pad(sae, ((4, 4), (4, 4)))
+
+    def kernel(sae_ref, out_ref):
+        i = pl.program_id(0)
+        slab = sae_ref[pl.ds(i * band, band + 8), :]
+        out_ref[:] = _band_mask(slab, band, w, cfg).astype(jnp.int32)
+
+    mask = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=(h // band,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((band, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pad)
+    cs = cfg.border
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    in_b = (xx >= cs) & (xx < sensor.width - cs) & (yy >= cs) \
+        & (yy < sensor.height - cs)
+    return (mask != 0) & in_b
+
+
+def corner_mask_dense_pallas_sparse(sae: jnp.ndarray, active: jnp.ndarray,
+                                    cfg: EFastConfig = EFastConfig(),
+                                    sensor: SensorConfig = SensorConfig(),
+                                    band: int = 24,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """corner_mask_dense_pallas with per-band predication: bands whose
+    `active` flag is False write zeros and SKIP the stencil (event slices
+    touch a minority of y-bands on typical scenes — detection only consults
+    the mask at touched pixels, so inactive bands never need computing;
+    their rows come back 0). active: (H // band,) bool."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = sae.shape
+    assert h % band == 0, (h, band)
+    nb = h // band
+    pad = jnp.pad(sae, ((4, 4), (4, 4)))
+    act = active.astype(jnp.int32).reshape(nb, 1)
+
+    def kernel(act_ref, sae_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i, 0] != 0)
+        def _():
+            slab = sae_ref[pl.ds(i * band, band + 8), :]
+            out_ref[:] = _band_mask(slab, band, w, cfg).astype(jnp.int32)
+
+        @pl.when(act_ref[i, 0] == 0)
+        def _():
+            out_ref[:] = jnp.zeros((band, w), jnp.int32)
+
+    mask = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((band, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(act, pad)
+    cs = cfg.border
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    in_b = (xx >= cs) & (xx < sensor.width - cs) & (yy >= cs) \
+        & (yy < sensor.height - cs)
+    return (mask != 0) & in_b
+
+
+def _pick_band(h: int) -> int:
+    """Largest divisor of h in the measured-good band range (VMEM-bounded
+    above ~24 at W=1280; Mosaic failed at 40)."""
+    for b in (24, 20, 16, 12, 10, 8, 6, 5, 4):
+        if h % b == 0:
+            return b
+    return 0
+
+
+def detect_corners_dense(sae, ev_y, ev_valid, x, y, valid,
+                         cfg: EFastConfig = EFastConfig(),
+                         sensor: SensorConfig = SensorConfig()) -> jnp.ndarray:
+    """Dense-backend detection: build the per-band corner mask once from the
+    slice's touched y-bands (ev_y/ev_valid — ALL events, so every band a
+    candidate can live in is active), then look candidates up. Returns the
+    (N,) corner mask for (x, y, valid) candidates — bit-identical to
+    detect_corners (tests/test_ops.py)."""
+    h, w = sae.shape
+    band = _pick_band(h)
+    if band == 0:
+        return detect_corners(sae, x, y, valid, cfg, sensor)
+    nb = h // band
+    act = jnp.zeros((nb,), bool).at[
+        jnp.clip(ev_y // band, 0, nb - 1)].max(ev_valid, mode="drop")
+    if jax.default_backend() != "cpu":   # TPU (this rig's remote platform)
+        mask = corner_mask_dense_pallas_sparse(sae, act, cfg, sensor, band)
+    else:                                # tests: same results via banded XLA
+        mask = corner_mask_dense_banded(sae, cfg, sensor, band)
+    return mask[y, x] & valid
+
+
 def detect_corners(
     sae: jnp.ndarray,
     x: jnp.ndarray,

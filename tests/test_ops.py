@@ -352,3 +352,44 @@ def test_nms_tile_local_two_pass_equals_global_greedy():
             prev_strip = (f1.x, f1.y, jnp.asarray(strip_v))
         assert got == ref_set, (trial, sorted(got - ref_set),
                                 sorted(ref_set - got))
+
+
+def test_dense_detect_matches_gather():
+    """r3 dense detection backends (whole-image stencil: banded XLA + the
+    sparse-band Pallas kernel via detect_corners_dense) must equal the ring
+    gather bit-for-bit on structured + random surfaces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from evflow_tpu.config import EFastConfig, SensorConfig
+    from evflow_tpu.ops import efast
+
+    rng = np.random.default_rng(2)
+    H, W = 120, 256
+    sensor = SensorConfig(width=W, height=H)
+    cfg = EFastConfig()
+    sae = np.zeros((H, W), np.int32)
+    for ax, ay, t0 in ((40, 40, 100), (100, 80, 200), (200, 30, 300)):
+        sae[ay - 10:ay + 1, ax - 10:ax + 1] = rng.integers(t0, t0 + 50,
+                                                           (11, 11))
+    nz = rng.random((H, W)) < 0.08
+    sae[nz] = rng.integers(1, 90, nz.sum())
+    saej = jnp.asarray(sae)
+    n = 2048
+    x = rng.integers(0, W, n).astype(np.int32)
+    y = rng.integers(0, H, n).astype(np.int32)
+    v = rng.random(n) < 0.9
+    ref = np.asarray(efast.detect_corners(
+        saej, jnp.asarray(x), jnp.asarray(y), jnp.asarray(v), cfg, sensor))
+    dense = np.asarray(efast.detect_corners_dense(
+        saej, jnp.asarray(y), jnp.asarray(v), jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(v), cfg, sensor))
+    assert ref.sum() > 0
+    np.testing.assert_array_equal(ref, dense)
+    # full dense mask agrees with per-pixel gather on every pixel
+    full = np.asarray(efast.corner_mask_dense(saej, cfg, sensor))
+    banded = np.asarray(efast.corner_mask_dense_banded(saej, cfg, sensor))
+    np.testing.assert_array_equal(full, banded)
+    sp = np.asarray(efast.corner_mask_dense_pallas_sparse(
+        saej, jnp.ones((H // efast._pick_band(H),), bool), cfg, sensor,
+        band=efast._pick_band(H), interpret=True))
+    np.testing.assert_array_equal(full, sp)
