@@ -60,3 +60,38 @@ bench("sae+efast", mk_efast)
 def mk_full_corner():
     return pipeline.corner_track_scan(pipeline.init_corner_state(cfg), xs, ys, ts, vs, cfg)
 bench("corner_step", mk_full_corner)
+
+
+# ---- r3 detection-backend comparison (VERDICT item 6), measured 2026-08-20
+# on blob-distributed 8192-candidate slices, 20-rep in-scan, TPU v5e:
+#   ring gather (r2 8x8-block)            2.02 ms/slice
+#   dense whole-image XLA                20.80 ms/slice (HBM-bound planes)
+#   dense banded XLA (lax.map)            4.60 ms/slice
+#   dense Pallas, band=8/16/24            2.54 / 2.36 / 2.03 ms/slice
+#   dense Pallas band=24 + sparse bands   1.61 ms/slice  <- adopted default
+#   (band=40 exceeds VMEM: Mosaic compile failure)
+# Fused full_scan bench: 7.37M ev/s (22.5x) with dense vs 6.99M (21.3x) r2.
+def corner_scan_dense():
+    co = pipeline.init_corner_state(cfg)
+    def step(st, ev):
+        x, y, t, v = ev
+        return pipeline.corner_track_step(st, x, y, t, v, cfg)
+    return jax.lax.scan(step, co, (xs, ys, ts, vs))
+
+
+import dataclasses
+cfg_gather = dataclasses.replace(
+    cfg, efast=dataclasses.replace(cfg.efast, dense_detect=False))
+
+
+def corner_scan_gather():
+    co = pipeline.init_corner_state(cfg_gather)
+    def step(st, ev):
+        x, y, t, v = ev
+        return pipeline.corner_track_step(st, x, y, t, v, cfg_gather)
+    return jax.lax.scan(step, co, (xs, ys, ts, vs))
+
+
+if __name__ == "__main__" or True:
+    bench("corner dense(r3)", corner_scan_dense)
+    bench("corner gather(r2)", corner_scan_gather)
