@@ -233,12 +233,17 @@ def _compute_neighbors_grid_jit(pts, mins, eps, dims, bucket,
         ci = jnp.where(ok, ci, -1)
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
         if select_k:                                  # keep the k nearest only
-            if approx:     # approx_max_k: TPU-native partial sort; recall<1
-                negs, posk = jax.lax.approx_max_k(-dist, select_k)
-            else:
-                negs, posk = jax.lax.top_k(-dist, select_k)
-            sd = -negs                                # ascending distances
-            si = jnp.take_along_axis(ci, posk, axis=1)
+            # r3: SORT-based selection — a variadic (dist, idx) row sort then
+            # a static slice is EXACT and ~3.5x faster than top_k +
+            # take_along_axis on these row widths (39 vs 136 ms on
+            # (100k, 432); the per-row index gather was the hidden cost —
+            # benchmarks/prof_optics_d34.py). approx_max_k measured no
+            # better than top_k here, so `approx` no longer changes the
+            # grid path (kept for API compat; the dense path still uses it
+            # on its n-wide rows where sorting would be quadratic-ish).
+            sd_all, si_all = jax.lax.sort((dist, ci), num_keys=1)
+            sd = jax.lax.slice_in_dim(sd_all, 0, select_k, axis=1)
+            si = jax.lax.slice_in_dim(si_all, 0, select_k, axis=1)
             si = jnp.where(jnp.isfinite(sd), si, -1)
             if min_pts <= select_k:                   # core falls out of sd
                 core = sd[:, min_pts - 1]
@@ -270,27 +275,40 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
                            max_bucket: int = 1024,
                            max_cells: int = 1 << 22,
                            approx: bool = False,
-                           allow_projected: bool = False
+                           allow_projected: bool = False,
+                           full_window: bool = False,
+                           full_window_entry_cap: int = 192 << 20
                            ) -> Optional[NeighborTable]:
     """Grid-bucketed ε-neighborhoods. Returns None when the grid degenerates
     (over-dense cells or too many cells) — caller falls back to the dense
-    panel path. For d > 3 a PROJECTED grid on the first three coordinates is
-    available (every full-D eps-neighbor lies within the ±1 projected
-    window, so neighbor sets stay exact), but it is opt-in: ε grows with
-    dim, fattening the projected windows — measured at n=100k the projected
-    grid gives 299/621/1144 ms at d=4/5/6 vs 275/329/286 ms dense MXU
-    panels, so the auto path keeps dense for d > 3.
+    panel path. The grid is exact (full-D) up to d=4: a 4-D grid costs 3⁴=81
+    windows but avoids the dense path's panel+selection wall (r3). For d > 4
+    a PROJECTED grid on the first three coordinates is available (every
+    full-D eps-neighbor lies within the ±1 projected window, so neighbor
+    sets stay exact), but it is opt-in: ε grows with dim, fattening the
+    projected windows — measured at n=100k the projected g=3 grid gives
+    299/621/1144 ms at d=4/5/6 vs 275/329/286 ms dense MXU panels, so the
+    auto path keeps dense for d > 4.
     Results match compute_neighbors exactly (same neighbor sets; distances
     use the exact difference form, which is *more* accurate than the
     |a|²+|b|²-2ab panel). Neighbor rows are UNSORTED when the 3^g·B window
     fits max_neighbors (the OPTICS sweep is order-agnostic); otherwise the k
     nearest are kept, sorted (approx=True uses approx_max_k there — same
-    recall semantics as the dense approx path)."""
+    recall semantics as the dense approx path).
+
+    full_window=True skips nearest-k selection entirely and returns the
+    masked 3^g·B window as the neighbor rows (K=m, -1/inf pads, unsorted) —
+    on TPU the per-row top_k/sort selection costs MORE than the gathers and
+    distance panels combined (benchmarks/prof_optics_d34.py: top_k(64) on
+    (100k,432) rows = 350 ms; the whole no-select window pass ~65 ms), and
+    the OPTICS sweep consumes masked rows as-is. The cost is a wider table
+    (n·m entries, capped by full_window_entry_cap — beyond it selection is
+    used after all), which only matters for device→host transfer."""
     pts_np = np.asarray(points, dtype=np.float32)
     n, d = pts_np.shape
-    if n == 0 or (d > 3 and not allow_projected):
+    if n == 0 or (d > 4 and not allow_projected):
         return None
-    g = min(d, 3)
+    g = min(d, 4) if d <= 4 else 3
     # fp32 throughout so host occupancy counting mirrors the device's cell
     # arithmetic bit-for-bit (a boundary point must not overflow its bucket)
     mins = pts_np.min(axis=0)
@@ -317,13 +335,16 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
         return None
 
     m = (3 ** g) * bucket
-    # the select path reads core_dist out of its own sorted prefix, so it
-    # would need at least min_pts neighbors; lax.top_k at k >= ~256 on wide
-    # rows is the known pathological case on this backend — let the dense
-    # panels handle huge-min_pts configs instead
-    if m > max_neighbors and min_pts > max_neighbors:
-        return None
-    select_k = 0 if m <= max_neighbors else min(max(max_neighbors, min_pts), n)
+    if full_window and n * m <= full_window_entry_cap:
+        select_k = 0
+    else:
+        # the select path reads core_dist out of its own sorted prefix, so it
+        # would need at least min_pts neighbors; lax.top_k at k >= ~256 on
+        # wide rows is the known pathological case on this backend — let the
+        # dense panels handle huge-min_pts configs instead
+        if m > max_neighbors and min_pts > max_neighbors:
+            return None
+        select_k = 0 if m <= max_neighbors else min(max(max_neighbors, min_pts), n)
     nblocks = -(-n // block)
     idx, dist, cnt, core = _compute_neighbors_grid_jit(
         jnp.asarray(pts_np, jnp.float32), jnp.asarray(mins, jnp.float32),
@@ -522,7 +543,9 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
                                block: int = 2048,
                                use_native: bool = True,
                                approx: bool = False,
-                               method: str = "auto") -> List[ReachabilityDist]:
+                               method: str = "auto",
+                               full_window: bool = False
+                               ) -> List[ReachabilityDist]:
     """Full OPTICS: TPU ε-neighborhoods, host seed-queue sweep.
 
     Returns the ordered list of (point_index, reach_dist); unreached points
@@ -531,9 +554,12 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
     equivalent Python heap loop below.
 
     method: "cellpair" = zero-gather shift formulation (fastest at d<=2),
-    "grid" = grid-bucketed neighbors (projected to the first 3 dims when
-    d > 3), "dense" = tiled O(N²) distance panels, "auto" = cellpair at
+    "grid" = grid-bucketed neighbors (exact full-D grid up to d=4),
+    "dense" = tiled O(N²) distance panels, "auto" = cellpair at
     d<=2, else grid, else dense — each falling through when it declines.
+    full_window=True lets the grid skip nearest-k selection and return
+    masked 3^g·B windows (much faster on-device; wider table to transfer —
+    see compute_neighbors_grid).
 
     Neighborhoods larger than max_neighbors keep only the nearest K
     (reachability relaxations to the dropped FAR neighbors are lost; in
@@ -562,7 +588,8 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
         if table is None and method in ("auto", "grid"):
             table = compute_neighbors_grid(points, epsilon, min_pts,
                                            max_neighbors=max_neighbors,
-                                           approx=approx)
+                                           approx=approx,
+                                           full_window=full_window)
             if table is None and method == "grid":
                 raise ValueError("grid neighbor search does not apply "
                                  "(degenerate grid or over-dense cells)")

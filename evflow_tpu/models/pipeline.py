@@ -15,9 +15,13 @@ One engine replaces the reference's eight app monoliths (SURVEY §2.1):
      metavision_time_surface_periodic_group_track.cpp:741-1102)
 
 Each pipeline is a jitted fixed-shape per-slice step plus a host driver that
-iterates recorded slices. `mode="fast"` uses the slice-vectorized clustering
-(models/fastcluster.py); `mode="exact"` runs the bit-parity per-event engine
-(models/aeclustering.py).
+iterates recorded slices. `ClusterFlowPipeline(cfg, mode="fast")` uses the
+slice-vectorized clustering (models/fastcluster.py); `mode="exact"` runs the
+bit-parity per-event engine (models/aeclustering.py, via
+cluster_flow_step_exact) with the same ClusterFlowOutput surface — flow is
+the reported-centroid delta per persistent cid × cfg.flow.extrapolation,
+exactly the fast path's semantics. CLI: `cluster-flow --exact
+[--fabricated-ts]` (run.py).
 """
 
 from __future__ import annotations
@@ -84,17 +88,30 @@ def cluster_flow_step(
 @dataclasses.dataclass
 class ClusterFlowPipeline:
     cfg: EngineConfig = DEFAULT
+    mode: str = "fast"   # "fast" | "exact" (bit-parity per-event engine)
 
-    def init_state(self) -> fastcluster.FastState:
+    def init_state(self):
+        if self.mode == "exact":
+            c = self.cfg.cluster.max_clusters
+            # (engine, cum_unique, per-lane flow memory) — prev_cid/prev_cent
+            # mirror fastcluster's has_prev/centroid_prev so flow (like
+            # everything else) survives a checkpoint/resume split
+            # bit-identically. Keyed by cid, not lane occupancy: the exact
+            # engine churns lanes within a slice (satellites die + spawn),
+            # so a reused lane must not inherit the old occupant's centroid.
+            return (aeclustering.init_state(self.cfg.cluster), jnp.int32(0),
+                    jnp.full((c,), -1, jnp.int32),
+                    jnp.zeros((c, 2), jnp.float32))
         return fastcluster.init_state(self.cfg.cluster)
 
-    def run(self, stream: EventStream,
-            state: Optional[fastcluster.FastState] = None
-            ) -> List[ClusterFlowOutput]:
+    def run(self, stream: EventStream, state=None,
+            t0: Optional[int] = None) -> List[ClusterFlowOutput]:
         """Iterate recorded slices. `state` resumes from a checkpoint
         (utils/checkpoint.py); `self.final_state` afterwards is the state to
         checkpoint — a stream split across a save/restore boundary produces
         bit-identical outputs to an unbroken run (tests/test_checkpoint.py).
+        In exact mode `t0` rebases the engine clock (persist it in checkpoint
+        meta, as the corner pipeline does); ignored with compat_fabricated_ts.
         """
         cfg = self.cfg
         if cfg.slicing.mode == "n_us":
@@ -103,6 +120,8 @@ class ClusterFlowPipeline:
             slices = slice_by_count(stream, cfg.slicing.n_events)
         if state is None:
             state = self.init_state()
+        if self.mode == "exact":
+            return self._run_exact(slices, state, stream, t0)
         outs = []
         mask = slices.valid_mask()
         for s in range(slices.num_slices):
@@ -111,6 +130,59 @@ class ClusterFlowPipeline:
                 jnp.asarray(mask[s]), cfg)
             outs.append(jax.device_get(out))
         self.final_state = state
+        return outs
+
+    def _run_exact(self, slices: EventSlices, state, stream: EventStream,
+                   t0: Optional[int]) -> List[ClusterFlowOutput]:
+        """Exact-mode driver: cluster_flow_step_exact per slice, with the
+        fast path's output surface. flow = reported-centroid delta per
+        persistent cid × cfg.flow.extrapolation (0 on a cluster's first
+        report) — the same semantics fastcluster.update_slice computes
+        on-device (accel …store.cpp:500-545 arrow construction)."""
+        cfg = self.cfg
+        ae_state, cum, prev_cid, prev_cent = state
+        prev_cid = np.asarray(prev_cid)
+        prev_cent = np.asarray(prev_cent, np.float32)
+        if t0 is None:
+            t0 = int(stream.t[0]) if len(stream) else 0
+        self.t0 = t0
+        mask = slices.valid_mask()
+        outs = []
+        prev_cum = int(cum)
+        for s in range(slices.num_slices):
+            t_rel = (slices.t[s].astype(np.int64) - t0).astype(np.int32)
+            ae_state, view, cum = cluster_flow_step_exact(
+                ae_state, jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
+                jnp.asarray(t_rel), jnp.asarray(mask[s]), cfg, cum)
+            view = jax.device_get(view)
+            n_valid = int(mask[s].sum())
+            uniq = int(cum) - prev_cum
+            prev_cum = int(cum)
+            alive = np.asarray(view.alive)
+            n_c = np.asarray(view.n)
+            reported = alive & (n_c >= cfg.cluster.min_n)
+            cent = np.asarray(view.centroid)
+            cids = np.asarray(view.cid)
+            # per-lane flow memory (fastcluster.update_slice step 6
+            # semantics) keyed by cid: a flow is reported only when the
+            # SAME cluster (same cid on the lane) was reported before — the
+            # exact engine reuses lanes within a slice, so occupancy alone
+            # would pair a new cluster with the dead occupant's centroid
+            # (observed: ~600 px bogus arrows). Lives in the pipeline state
+            # so flow survives a checkpoint/resume split.
+            same = reported & (prev_cid == cids) & (prev_cid >= 0)
+            flow = np.where(same[:, None],
+                            (cent - prev_cent) * cfg.flow.extrapolation, 0.0)
+            prev_cent = np.where(reported[:, None], cent, prev_cent)
+            prev_cid = np.where(reported, cids,
+                                np.where(alive, prev_cid, -1)).astype(np.int32)
+            outs.append(ClusterFlowOutput(
+                unique_count=np.int32(uniq),
+                repeated_count=np.int32(n_valid - uniq),
+                reported=reported, cid=cids, n=n_c,
+                centroid=cent, flow=flow.astype(np.float32)))
+        self.final_state = (ae_state, cum, jnp.asarray(prev_cid),
+                            jnp.asarray(prev_cent, jnp.float32))
         return outs
 
 

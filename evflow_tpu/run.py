@@ -34,18 +34,28 @@ def _load(args):
 
 def cmd_cluster_flow(args):
     """App E: hash dedup → clustering → centroid flow (accel …store.cpp)."""
-    from .config import DEFAULT
+    import dataclasses
+    from .config import DEFAULT, DedupConfig
     from .models.pipeline import ClusterFlowPipeline
     from .utils import checkpoint as ckpt
     from .utils.plots import render_cluster_frame
     cfg = DEFAULT
-    pipe = ClusterFlowPipeline(cfg)
-    state = None
+    mode = "fast"
+    if getattr(args, "exact", False):
+        mode = "exact"
+        if getattr(args, "fabricated_ts", False):
+            cfg = dataclasses.replace(cfg, dedup=dataclasses.replace(
+                cfg.dedup, compat_fabricated_ts=True))
+    pipe = ClusterFlowPipeline(cfg, mode=mode)
+    state = t0 = None
     if args.resume:
         state = ckpt.restore_npz(args.resume, pipe.init_state())
-    outs = pipe.run(_load(args), state=state)
+        if mode == "exact":
+            t0 = int(ckpt.load_meta(args.resume)["t0"])
+    outs = pipe.run(_load(args), state=state, t0=t0)
     if args.checkpoint:
-        ckpt.save_npz(args.checkpoint, pipe.final_state)
+        meta = {"t0": pipe.t0} if mode == "exact" else None
+        ckpt.save_npz(args.checkpoint, pipe.final_state, meta=meta)
         print(f"checkpoint saved: {args.checkpoint}")
     for i, out in enumerate(outs):
         rep = np.asarray(out.reported)
@@ -318,7 +328,13 @@ def main(argv=None):
                             "to an unbroken run")
         return p
 
-    add_ckpt(add("cluster-flow", cmd_cluster_flow))
+    p = add_ckpt(add("cluster-flow", cmd_cluster_flow))
+    p.add_argument("--exact", action="store_true",
+                   help="bit-parity per-event engine (AEClustering.cpp:47-118 "
+                        "semantics) instead of the slice-vectorized fast path")
+    p.add_argument("--fabricated-ts", action="store_true",
+                   help="with --exact: reproduce the reference's fabricated "
+                        "uniqueCount/1000 clock (accel …store.cpp:439)")
     add("async-cluster", cmd_async_cluster, decimate=256)
     add("track-estimate", cmd_track_estimate, decimate=512)
     add_ckpt(add("corner-track", cmd_corner_track))

@@ -75,3 +75,12 @@ def test_cli_optics_chi_and_plots(tmp_path, capsys):
     assert files == ["clusters_2d.ppm", "reachability_plot.ppm"]
     with open(os.path.join(out, "reachability_plot.ppm"), "rb") as f:
         assert f.read(2) == b"P6"
+
+
+def test_cli_cluster_flow_exact(small_stream, capsys):
+    """--exact runs the bit-parity engine from the user surface; with
+    --fabricated-ts the reference's uniqueCount clock quirk is on."""
+    main(["cluster-flow", "--input", small_stream, "--exact",
+          "--fabricated-ts"])
+    out = capsys.readouterr().out
+    assert "unique=" in out and "clusters=" in out

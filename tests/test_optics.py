@@ -296,11 +296,12 @@ def test_cellpair_matches_grid_exactly():
 
 
 def test_projected_grid_matches_dense_high_dim():
-    """d > 3 grids bucket on the first 3 coordinates only; neighbor sets must
-    still equal the dense path's (every eps-neighbor lies in the ±1
-    projected window)."""
+    """d > 4 grids (opt-in) bucket on the first 3 coordinates only; neighbor
+    sets must still equal the dense path's (every eps-neighbor lies in the
+    ±1 projected window). d=4 uses the exact 4-D grid instead (r3) — covered
+    by test_grid_full_window_and_4d_grid_match_dense."""
     from evflow_tpu.io.synthetic import uniform_cloud
-    for dim in (4, 6):
+    for dim in (5, 6):
         pts = uniform_cloud(2500, dim, 1000.0, seed=3)
         eps = optics.epsilon_estimation(pts, 10)
         g = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=512,
@@ -401,3 +402,83 @@ def test_neighbor_cap_truncation():
     assert float(np.max(err)) <= eps, float(np.max(err))
     print(f"truncation k=128 vs k={n}: mean rel err {np.mean(rel):.4f}, "
           f"max abs err {np.max(err):.3f} (eps={eps})")
+
+
+def test_grid_full_window_and_4d_grid_match_dense():
+    """r3: full_window=True skips nearest-k selection and returns the masked
+    3^g·B window (K=m, unsorted, -1/inf pads) — counts, core dists, and
+    neighbor sets must equal the dense path's. d=4 exercises the new exact
+    4-D grid (g=4, 81 windows)."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for dim in (2, 3, 4):
+        pts = uniform_cloud(2000, dim, 1000.0, seed=5)
+        eps = optics.epsilon_estimation(pts, 10)
+        # max_neighbors tiny on purpose: full_window must ignore it
+        fw = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=16,
+                                           full_window=True)
+        assert fw is not None, dim
+        dense = optics.compute_neighbors(pts, eps, 10, max_neighbors=1024)
+        # exclude knife-edge pairs: grid uses exact differences, dense the
+        # |a|²+|b|²-2ab panel — they may round a dist==eps pair differently
+        D = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        clear = np.abs(D - eps).min(axis=1) > 1e-3 * eps
+        np.testing.assert_array_equal(np.asarray(fw.count)[clear],
+                                      np.asarray(dense.count)[clear])
+        # grid distances are exact differences; dense uses the panel form
+        # (fp32 rounding differs at ~3e-4 relative; the grid is the more
+        # accurate of the two)
+        np.testing.assert_allclose(np.asarray(fw.core_dist)[clear],
+                                   np.asarray(dense.core_dist)[clear],
+                                   rtol=1e-3)
+        fi, fd = np.asarray(fw.idx), np.asarray(fw.dist)
+        di, dd = np.asarray(dense.idx), np.asarray(dense.dist)
+        for i in range(0, len(pts), 71):
+            if not clear[i]:
+                continue
+            a = {int(v) for v, t in zip(fi[i], fd[i]) if np.isfinite(t)}
+            b = {int(v) for v, t in zip(di[i], dd[i]) if np.isfinite(t)}
+            assert a == b, (dim, i)
+    # the sweep consumes the masked rows as-is (order-agnostic)
+    pts = uniform_cloud(1500, 3, 1000.0, seed=6)
+    eps = optics.epsilon_estimation(pts, 10)
+    rg = compute_reachability_dists(pts, 10, eps, method="grid",
+                                    full_window=True)
+    rd = compute_reachability_dists(pts, 10, eps, method="dense",
+                                    max_neighbors=1024)
+    # visit ORDER is heap-sensitive to the fp32 rounding difference between
+    # the two distance forms; per-point reachability values must agree
+    by_pt_g = {r.point_index: r.reach_dist for r in rg}
+    by_pt_d = {r.point_index: r.reach_dist for r in rd}
+    assert by_pt_g.keys() == by_pt_d.keys()
+    ga = np.array([by_pt_g[i] for i in sorted(by_pt_g)])
+    da = np.array([by_pt_d[i] for i in sorted(by_pt_d)])
+    np.testing.assert_allclose(ga, da, rtol=1e-3, atol=1e-5)
+
+
+def test_4d_grid_select_mode_and_entry_cap():
+    """d=4 grids support sort-based selection (capped K tables) and the
+    full-window entry cap falls back to selection when exceeded."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    pts4 = uniform_cloud(2000, 4, 1000.0, seed=7)
+    eps = optics.epsilon_estimation(pts4, 10)
+    # sort-select keeps a K-wide table whose sets match dense (clear pts)
+    g = optics.compute_neighbors_grid(pts4, eps, 10, max_neighbors=64)
+    assert g is not None and np.asarray(g.idx).shape[1] <= 81 * 64
+    dense = optics.compute_neighbors(pts4, eps, 10, max_neighbors=1024)
+    D = np.sqrt(((pts4[:, None, :] - pts4[None, :, :]) ** 2).sum(-1))
+    clear = np.abs(D - eps).min(axis=1) > 1e-3 * eps
+    np.testing.assert_array_equal(np.asarray(g.count)[clear],
+                                  np.asarray(dense.count)[clear])
+    # with an entry cap too small for the window, full_window falls back to
+    # the (sorted) select path
+    g = optics.compute_neighbors_grid(pts4, eps, 10, max_neighbors=16,
+                                      full_window=True,
+                                      full_window_entry_cap=1000)
+    assert g is not None and np.asarray(g.idx).shape[1] == 16
+    # d=3 under the same tiny cap falls back to the select path (K=16)
+    pts3 = uniform_cloud(2000, 3, 1000.0, seed=7)
+    eps3 = optics.epsilon_estimation(pts3, 10)
+    g3 = optics.compute_neighbors_grid(pts3, eps3, 10, max_neighbors=16,
+                                       full_window=True,
+                                       full_window_entry_cap=1000)
+    assert g3 is not None and np.asarray(g3.idx).shape[1] == 16
