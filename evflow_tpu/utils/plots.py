@@ -9,7 +9,8 @@ software-rasterized plots:
   - draw_2d_clusters (hpp:1052-1088): colored cluster points + bounding boxes
   - cluster/flow frame render (accel …store.cpp:466-548): member dots in
     cluster colors, centroid dots, previous-centroid dots, flow arrows,
-    cluster-id text dropped (no font rasterizer; ids encoded by color)
+    cluster-id text at centroid+10 in blue (…store.cpp:502; r3 — rendered
+    with the built-in 5×7 bitmap font in utils/ppm.py)
 """
 
 from __future__ import annotations
@@ -137,6 +138,8 @@ def render_cluster_frame(width: int, height: int, out, member_xy=None,
     for i in np.where(reported)[0]:
         cx, cy = int(round(cent[i, 0])), int(round(cent[i, 1]))
         img.circle(cx, cy, 1, (0, 255, 0), filled=True)
+        # cluster-id text at centroid+10, blue font (…store.cpp:497-502)
+        img.text(cx + 10, cy + 10, str(int(cid[i])), (255, 0, 0))
         px, py = cx - flow[i, 0], cy - flow[i, 1]
         if px > 0 and py > 0:
             img.arrow(int(round(px)), int(round(py)), cx, cy, (0, 255, 0))
@@ -147,9 +150,10 @@ def render_track_frame(width: int, height: int, out,
                        arrow_scale: float = 3.0) -> BGRImage:
     """Per-slice corner-tracker frame — CornerVisualizer::visualizeTrackedCorners
     (group_track.cpp:539-626): group circles with their radius, group-velocity
-    arrows scaled for visibility, per-corner dots colored by group membership.
-    (The reference's "px/f" magnitude text requires a font; omitted — the
-    arrow length carries the magnitude.)"""
+    arrows scaled for visibility, the "%.1f px/f" magnitude text above each
+    moving group (:582-585), per-corner dots colored by group membership with
+    their "label(Gk)" tag at (x+5, y-5) (:613-622) — text via the built-in
+    5×7 bitmap font (utils/ppm.py)."""
     img = BGRImage(width, height, fill=(0, 0, 0))
     groups = out.groups
     exists = np.asarray(groups.exists)
@@ -159,16 +163,25 @@ def render_track_frame(width: int, height: int, out,
     for g in np.where(exists)[0]:
         cx, cy = int(round(gcent[g, 0])), int(round(gcent[g, 1]))
         img.circle(cx, cy, max(int(round(grad[g])), 2), (255, 200, 0))
-        img.arrow(cx, cy,
-                  int(round(gcent[g, 0] + arrow_scale * gvel[g, 0])),
-                  int(round(gcent[g, 1] + arrow_scale * gvel[g, 1])),
-                  (0, 255, 255))
+        vmag = float(np.hypot(gvel[g, 0], gvel[g, 1]))
+        if vmag > 0.1:   # reference draws only for significant movement
+            img.arrow(cx, cy,
+                      int(round(gcent[g, 0] + arrow_scale * gvel[g, 0])),
+                      int(round(gcent[g, 1] + arrow_scale * gvel[g, 1])),
+                      (0, 255, 255))
+            img.text(cx - 20, cy - max(int(round(grad[g])), 2) - 5,
+                     f"{vmag:.1f} px/f", (255, 200, 0))
     act = np.asarray(out.track_active)
     pos = np.asarray(out.track_pos)
     grp = np.asarray(out.track_group)
+    lbl = np.asarray(out.track_label)
     for i in np.where(act)[0]:
         col = (CLUSTER_COLORS[int(grp[i]) % len(CLUSTER_COLORS)]
                if grp[i] >= 0 else (200, 200, 200))
-        img.circle(int(round(pos[i, 0])), int(round(pos[i, 1])), 2, col,
-                   filled=True)
+        px, py = int(round(pos[i, 0])), int(round(pos[i, 1]))
+        img.circle(px, py, 2, col, filled=True)
+        tag = str(int(lbl[i]))
+        if grp[i] >= 0:
+            tag += f"(G{int(grp[i])})"
+        img.text(px + 5, py - 5, tag, col)
     return img

@@ -117,6 +117,22 @@ class BGRImage:
             tip = np.array([x1, y1]) - v * head + perp * head * 0.5 * s
             self.line(x1, y1, int(round(tip[0])), int(round(tip[1])), col)
 
+    def text(self, x: int, y: int, s: str, col) -> None:
+        """Tiny built-in 5×7 bitmap text (no font dependency) — parity with
+        the reference's cv::putText labels (group_track.cpp:582-623: the
+        "%.1f px/f" group-velocity magnitude and the "label(Gk)" corner
+        tags). (x, y) is the text BASELINE-left like putText; glyphs render
+        above it. Unknown characters advance without painting."""
+        gx = x
+        for ch in s:
+            rows = _FONT5x7.get(ch)
+            if rows is not None:
+                for r, bits in enumerate(rows):
+                    for c in range(5):
+                        if bits & (0b10000 >> c):
+                            self.set_pixel(gx + c, y - 7 + r, col)
+            gx += 6
+
     def append_rows(self, other: "BGRImage") -> "BGRImage":
         assert other.width == self.width
         out = BGRImage(self.width, self.height + other.height)
@@ -145,3 +161,30 @@ class BGRImage:
         img = BGRImage(w, h)
         img.px[:] = px[:, :, ::-1]
         return img
+
+
+# 5x7 glyphs (rows top->bottom, 5-bit masks, MSB = left column) covering the
+# characters the reference's renderer emits: digits, "px/f", "(Gk)", minus,
+# dot. Hand-authored standard matrix-display shapes.
+_FONT5x7 = {
+    "0": (0b01110, 0b10001, 0b10011, 0b10101, 0b11001, 0b10001, 0b01110),
+    "1": (0b00100, 0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "2": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b01000, 0b11111),
+    "3": (0b11111, 0b00010, 0b00100, 0b00010, 0b00001, 0b10001, 0b01110),
+    "4": (0b00010, 0b00110, 0b01010, 0b10010, 0b11111, 0b00010, 0b00010),
+    "5": (0b11111, 0b10000, 0b11110, 0b00001, 0b00001, 0b10001, 0b01110),
+    "6": (0b00110, 0b01000, 0b10000, 0b11110, 0b10001, 0b10001, 0b01110),
+    "7": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b01000, 0b01000),
+    "8": (0b01110, 0b10001, 0b10001, 0b01110, 0b10001, 0b10001, 0b01110),
+    "9": (0b01110, 0b10001, 0b10001, 0b01111, 0b00001, 0b00010, 0b01100),
+    ".": (0b00000, 0b00000, 0b00000, 0b00000, 0b00000, 0b01100, 0b01100),
+    "-": (0b00000, 0b00000, 0b00000, 0b01110, 0b00000, 0b00000, 0b00000),
+    "(": (0b00010, 0b00100, 0b01000, 0b01000, 0b01000, 0b00100, 0b00010),
+    ")": (0b01000, 0b00100, 0b00010, 0b00010, 0b00010, 0b00100, 0b01000),
+    "/": (0b00001, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b10000),
+    "G": (0b01110, 0b10001, 0b10000, 0b10111, 0b10001, 0b10001, 0b01111),
+    "p": (0b00000, 0b00000, 0b11110, 0b10001, 0b11110, 0b10000, 0b10000),
+    "x": (0b00000, 0b00000, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001),
+    "f": (0b00110, 0b01001, 0b01000, 0b11100, 0b01000, 0b01000, 0b01000),
+    " ": (0b00000,) * 7,
+}

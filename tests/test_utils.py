@@ -111,3 +111,33 @@ def test_line_antialiased():
     img.line_antialiased(-5, -5, 40, 40, (255, 0, 0))
     img.line_antialiased(5, 30, 5, -3, (0, 255, 0))
     img.line_antialiased(7, 7, 7, 7, (0, 0, 255))
+
+
+def test_bitmap_text_glyphs():
+    """Built-in 5x7 font (r3): glyph pixels land in the 5x7 box above the
+    putText-style baseline, advance is 6 px, unknown chars skip silently."""
+    from evflow_tpu.utils.ppm import BGRImage, _FONT5x7
+    img = BGRImage(64, 16, fill=(0, 0, 0))
+    img.text(2, 10, "1", (0, 0, 255))
+    on = np.argwhere((img.px == (0, 0, 255)).all(axis=2))
+    assert len(on) > 0
+    # every painted pixel inside the glyph box x in [2,7), y in [3,10)
+    assert on[:, 1].min() >= 2 and on[:, 1].max() < 7
+    assert on[:, 0].min() >= 3 and on[:, 0].max() < 10
+    # exact pattern of "1"
+    exp = np.zeros((7, 5), bool)
+    for r, bits in enumerate(_FONT5x7["1"]):
+        for c in range(5):
+            exp[r, c] = bool(bits & (0b10000 >> c))
+    got = (img.px[3:10, 2:7] == (0, 0, 255)).all(axis=2)
+    np.testing.assert_array_equal(got, exp)
+    # advance: two chars paint disjoint columns 6 px apart
+    img2 = BGRImage(64, 16, fill=(0, 0, 0))
+    img2.text(0, 10, "00", (255, 255, 255))
+    cols = np.unique(np.argwhere(img2.px.any(axis=2))[:, 1])
+    assert cols.max() >= 6 and 5 not in cols  # 1-px gap between glyph boxes
+    # the reference label strings render without error and stay in-bounds
+    img3 = BGRImage(200, 20, fill=(0, 0, 0))
+    img3.text(2, 15, "12.3 px/f", (1, 2, 3))
+    img3.text(2, 8, "7(G12)", (1, 2, 3))
+    assert img3.px.any()
