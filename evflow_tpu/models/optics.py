@@ -520,6 +520,20 @@ def compute_neighbors_cellpair(points: np.ndarray, eps: float, min_pts: int,
         max(max_neighbors, min_pts), n)
     if (not select_k) and ncells * bucket * m * 8 > 1 << 32:
         select_k = min(max(max_neighbors, min_pts), n)
+    if select_k > 256:
+        # top_k at k > ~256 on wide rows is this backend's pathological case
+        # and the slot-inflated rows make it worse — decline (grid/dense
+        # serve huge-min_pts configs; hit via the auto-raise recompute, r3)
+        return None
+    # the loop body materializes a (cellblock, B, m) fp32 panel — cap it at
+    # 256 MB by shrinking cellblock (huge-bucket configs reached via the
+    # auto-raise recompute hit 3+ GB panels and OOMed the device, r3), and
+    # decline outright when even tiny blocks can't fit (grid/dense handle it)
+    panel_bytes = cellblock * bucket * m * 4
+    if panel_bytes > 1 << 28:
+        cellblock = max((1 << 28) // (bucket * m * 4), 1)
+        if cellblock < 8:
+            return None
     ncblocks = -(-ncells // cellblock)
     idx, dist, cnt, core = _compute_neighbors_cellpair_jit(
         jnp.asarray(pts_np, jnp.float32), jnp.asarray(mins, jnp.float32),
