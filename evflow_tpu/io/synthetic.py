@@ -121,3 +121,50 @@ def moving_edge_stream(
     return EventStream(
         np.concatenate(xs), np.concatenate(ys), np.concatenate(ts), np.concatenate(ps)
     )
+
+
+def textured_field_stream(
+    num_slices: int = 10,
+    events_per_slice: int = 16384,
+    num_objects: int = 40,
+    noise_frac: float = 0.5,
+    slice_us: int = 50_000,
+    seed: int = 11,
+    width: int = 1280,
+    height: int = 720,
+) -> EventStream:
+    """A deliberately UNFRIENDLY scene for the per-pixel candidate compaction
+    the corner throughput path relies on: many small fast objects plus
+    `noise_frac` uniform background events touching mostly-unique pixels, so
+    the touched-pixel count per slice approaches the event count (a blob
+    stream repaints the same pixels and flatters the compaction — r2 verdict
+    weak item 8). Used by benchmarks/scene_bench.py."""
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(60, width - 60, num_objects)
+    cy = rng.uniform(60, height - 60, num_objects)
+    vx = rng.uniform(-25, 25, num_objects)
+    vy = rng.uniform(-25, 25, num_objects)
+    xs, ys, ts, ps = [], [], [], []
+    for s in range(num_slices):
+        n_noise = int(events_per_slice * noise_frac)
+        n_obj = events_per_slice - n_noise
+        which = rng.integers(0, num_objects, n_obj)
+        ox = cx[which] + rng.normal(0, 3.0, n_obj)
+        oy = cy[which] + rng.normal(0, 3.0, n_obj)
+        nx = rng.uniform(0, width, n_noise)
+        ny = rng.uniform(0, height, n_noise)
+        x = np.clip(np.round(np.concatenate([ox, nx])), 0, width - 1)
+        y = np.clip(np.round(np.concatenate([oy, ny])), 0, height - 1)
+        t = (s * slice_us + np.sort(rng.integers(0, slice_us,
+                                                 size=events_per_slice))
+             ).astype(np.int64)
+        order = rng.permutation(events_per_slice)
+        xs.append(x[order].astype(np.int32))
+        ys.append(y[order].astype(np.int32))
+        ts.append(t)
+        ps.append(rng.integers(0, 2, events_per_slice).astype(np.int32))
+        cx = (cx + vx) % width
+        cy = (cy + vy) % height
+    return EventStream(
+        np.concatenate(xs), np.concatenate(ys), np.concatenate(ts),
+        np.concatenate(ps))
