@@ -85,9 +85,19 @@ def main():
     }
     for name, stream in scenes.items():
         evs, comp, uniq_px, dropped, corners = measure(stream, cfg)
-        print(f"{name:9s} {evs/1e6:5.2f}M ev/s ({evs/BASELINE_EVENTS_PER_S:5.1f}x ref)  "
+        print(f"{name:12s} {evs/1e6:5.2f}M ev/s ({evs/BASELINE_EVENTS_PER_S:5.1f}x ref)  "
               f"uniq_px/slice {uniq_px:7.0f}  corners {corners:6d}  "
               f"dropped_cand {dropped:6d}  compile {comp:5.1f}s", flush=True)
+    # full-coverage variant: raise the candidate budget to the slice size so
+    # the textured scene drops nothing — the cost of covering every touched
+    # pixel on the adversarial scene
+    import dataclasses
+    cfg16 = dataclasses.replace(
+        cfg, efast=dataclasses.replace(cfg.efast, max_candidates=n))
+    evs, comp, uniq_px, dropped, corners = measure(scenes["textured"], cfg16)
+    print(f"{'textured@16k':12s} {evs/1e6:5.2f}M ev/s ({evs/BASELINE_EVENTS_PER_S:5.1f}x ref)  "
+          f"uniq_px/slice {uniq_px:7.0f}  corners {corners:6d}  "
+          f"dropped_cand {dropped:6d}  compile {comp:5.1f}s", flush=True)
 
 
 if __name__ == "__main__":

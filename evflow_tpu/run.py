@@ -185,7 +185,9 @@ def cmd_optics(args):
     from .models import optics
     s = _load(args)
     pts = np.stack([s.x, s.y], axis=1).astype(np.float64)
-    rd = optics.compute_reachability_dists(pts, args.min_pts, args.eps)
+    rd = optics.compute_reachability_dists(
+        pts, args.min_pts, args.eps, method=args.method,
+        max_neighbors=args.max_neighbors, full_window=args.full_window)
     if args.chi > 0:
         flat = optics.get_chi_clusters_flat(rd, args.chi, args.min_pts)
         clusters = optics.get_cluster_indices_chi(rd, flat)
@@ -343,6 +345,14 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=2048)
     add("sampling", cmd_sampling)
     p = add("optics", cmd_optics)
+    p.add_argument("--method", default="auto",
+                   choices=("auto", "cellpair", "grid", "dense"),
+                   help="neighbor backend (auto: cellpair at d<=2, else "
+                        "grid up to d=4, else dense panels)")
+    p.add_argument("--max-neighbors", type=int, default=256)
+    p.add_argument("--full-window", action="store_true",
+                   help="grid skips nearest-k selection and returns masked "
+                        "3^g*B windows (fastest on-device; wider table)")
     p.add_argument("--eps", type=float, default=10.0)
     p.add_argument("--min-pts", type=int, default=2)
     p.add_argument("--threshold", type=float, default=10.0)
