@@ -9,6 +9,15 @@ q=8 0.94, q=16 0.97.
 
 Throughput: full corner_track_scan (SAE+detect+NMS+tracker) ms/slice on TPU
 per q — whole-sequence scan, chained reps, draining readback (CLAUDE.md).
+
+Measured 2026-08-20 on the TPU v5e (16384-event slices):
+  q=1: 2.20 ms/slice  7.44M ev/s (22.7x ref)   agreement 0.70
+  q=2: 2.32 ms/slice  7.07M ev/s (21.6x ref)   agreement 0.79
+  q=4: 2.59 ms/slice  6.32M ev/s (19.3x ref)   agreement 0.88
+  q=8: 3.06 ms/slice  5.36M ev/s (16.4x ref)   agreement 0.94
+The r2 verdict item-3 knee: q=8 delivers >=90% within-box agreement with the
+per-event-exact reference semantics at >=15x the reference cadence (matched
+trajectory ATE 10.6 px vs 17.7 px at q=1 — tests/test_event_exact.py).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import dataclasses
