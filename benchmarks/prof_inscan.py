@@ -23,12 +23,20 @@ ts = jnp.asarray((slices.t - t0).astype(np.int32))
 vs = jnp.asarray(slices.valid_mask())
 
 
+def _drain(out):
+    # 1-element ON-DEVICE slice then readback: block_until_ready alone can
+    # return before the remote queue drains (CLAUDE.md); np.asarray of a full
+    # leaf would measure transfer instead
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 def bench(name, make_scan):
     f = jax.jit(make_scan)
-    t0 = time.perf_counter(); jax.block_until_ready(f()); cmp = time.perf_counter()-t0
+    t0 = time.perf_counter(); _drain(f()); cmp = time.perf_counter()-t0
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); jax.block_until_ready(f()); best = min(best, time.perf_counter()-t0)
+        t0 = time.perf_counter(); _drain(f()); best = min(best, time.perf_counter()-t0)
     print(f"{name:20s} compile {cmp:7.1f}s  total {best*1e3:8.2f} ms  per-slice {best/n_slices*1e3:7.3f} ms", flush=True)
 
 

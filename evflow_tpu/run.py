@@ -275,13 +275,31 @@ def cmd_temporal(args):
     cfg = DEFAULT
     n_windows, n_tiles = args.windows, args.tiles
     ndev = len(jax.devices())
-    if n_windows * n_tiles > ndev:
-        sys.exit(f"error: grid ({n_windows}x{n_tiles}) needs "
-                 f"{n_windows * n_tiles} devices, have {ndev} (hint: set "
+    exact = getattr(args, "exact", False)
+    need = n_windows if exact else n_windows * n_tiles
+    if need > ndev:
+        sys.exit(f"error: {'windows' if exact else f'grid ({n_windows}x{n_tiles})'}"
+                 f" needs {need} devices, have {ndev} (hint: set "
                  f"XLA_FLAGS=--xla_force_host_platform_device_count=N with "
                  f"--backend cpu)")
     stream = _load(args)
     slices = slice_by_count(stream, cfg.slicing.n_events)
+    if exact:
+        # distributed EXACT engine: windows over the data axis only (no
+        # tiling — the engine is sequential per window), bit-for-bit
+        # post-warmup parity with the single-device exact run
+        m = mesh_mod.make_data_mesh(n_windows, cfg.parallel)
+        out = jax.device_get(temporal.run_temporal_exact(
+            slices, m, n_windows, args.warmup, cfg))
+        n_emit = out.alive.shape[1]
+        for w in range(n_windows):
+            for s in range(n_emit):
+                alive = np.asarray(out.alive[w, s])
+                big = alive & (np.asarray(out.n[w, s]) >= cfg.cluster.min_n)
+                print(f"window {w} slice {s}: clusters={int(big.sum())}")
+        chained = int((np.asarray(out.cluster_chain) >= 0).sum())
+        print(f"cross-window cluster chains: {chained} reported slots")
+        return
     grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, cfg.parallel)
     out = jax.device_get(temporal.run_temporal(
         slices, grid, n_windows, n_tiles, args.warmup, cfg))
@@ -376,6 +394,10 @@ def main(argv=None):
                    help="spatial tiles (tile-axis shards)")
     p.add_argument("--warmup", type=int, default=8,
                    help="overlap slices consumed from the previous window")
+    p.add_argument("--exact", action="store_true",
+                   help="distribute the bit-parity exact engine over the "
+                        "window axis (no tiling; post-warmup outputs are "
+                        "bit-identical to a single-device exact run)")
 
     args = ap.parse_args(argv)
     if args.backend != "auto":

@@ -312,6 +312,24 @@ main(['temporal', '--input', '/tmp/_temporal_cli.csv',
     assert "window 1 slice" in r.stdout
 
 
+def test_temporal_cli_exact():
+    """temporal --exact surfaces the distributed bit-parity engine from the
+    user surface (windows over the data axis, no tiling)."""
+    code = """
+import numpy as np
+from evflow_tpu.io.events import save_csv
+stream, apex, blob = scene(num_slices=8)
+save_csv(stream, '/tmp/_temporal_cli_exact.csv')
+from evflow_tpu.run import main
+main(['temporal', '--input', '/tmp/_temporal_cli_exact.csv',
+      '--windows', '2', '--warmup', '2', '--exact'])
+"""
+    r = _run_cpu8(code)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "window 1 slice" in r.stdout
+    assert "cross-window cluster chains:" in r.stdout
+
+
 @pytest.mark.slow
 def test_temporal_exact_bit_parity():
     """VERDICT r2 item 1: the EXACT (bit-parity) AEClustering engine runs
