@@ -293,8 +293,11 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     use the exact difference form, which is *more* accurate than the
     |a|²+|b|²-2ab panel). Neighbor rows are UNSORTED when the 3^g·B window
     fits max_neighbors (the OPTICS sweep is order-agnostic); otherwise the k
-    nearest are kept, sorted (approx=True uses approx_max_k there — same
-    recall semantics as the dense approx path).
+    nearest are kept, sorted. `approx` is accepted for API compatibility but
+    IGNORED on the grid path: r3's variadic row sort + static slice replaced
+    top_k/approx_max_k selection outright (approx_max_k measured no better
+    here — see the inline note in _compute_neighbors_grid_jit); only the
+    dense path still honors approx=True.
 
     full_window=True skips nearest-k selection entirely and returns the
     masked 3^g·B window as the neighbor rows (K=m, -1/inf pads, unsorted) —

@@ -273,6 +273,12 @@ class CornerTrackOutput(NamedTuple):
     # skipped that many touched pixels this slice (never silent truncation).
     num_dropped: jnp.ndarray = np.int32(0)  # int32 () (np: module-level jnp
     #                                         would init the backend at import)
+    # Renderer-parity fields (group_track.cpp:592,615-617): corners are drawn
+    # only at frame_count >= 3 and "(Gk)" is appended only on frames with a
+    # fresh detection (frames_since_last_detection == 0). Scalar -1 = not
+    # populated (tiled path), renderer falls back to unconditional drawing.
+    track_frames_since: jnp.ndarray = np.int32(-1)  # int32 (T,) or scalar -1
+    track_frame_count: jnp.ndarray = np.int32(-1)   # int32 (T,) or scalar -1
 
 
 def init_corner_state(cfg: EngineConfig = DEFAULT) -> CornerTrackState:
@@ -310,7 +316,9 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
         track_active=tracks.active, track_label=tracks.label,
         track_pos=tracks.pos, track_vel=tracks.velocity,
         track_group=tracks.group_id, groups=groups,
-        num_dropped=jnp.int32(n_dropped))
+        num_dropped=jnp.int32(n_dropped),
+        track_frames_since=tracks.frames_since,
+        track_frame_count=tracks.frame_count)
     return CornerTrackState(sae=new_sae, tracks=tracks,
                             slice_idx=state.slice_idx + 1), out
 

@@ -51,7 +51,12 @@ def cmd_cluster_flow(args):
     if args.resume:
         state = ckpt.restore_npz(args.resume, pipe.init_state())
         if mode == "exact":
-            t0 = int(ckpt.load_meta(args.resume)["t0"])
+            meta = ckpt.load_meta(args.resume)
+            if "t0" not in meta:
+                sys.exit("error: checkpoint was not saved in exact mode "
+                         "(missing t0 meta) — resume it without --exact, or "
+                         "re-save the checkpoint from an exact-mode run")
+            t0 = int(meta["t0"])
     outs = pipe.run(_load(args), state=state, t0=t0)
     if args.checkpoint:
         meta = {"t0": pipe.t0} if mode == "exact" else None
@@ -276,6 +281,10 @@ def cmd_temporal(args):
     n_windows, n_tiles = args.windows, args.tiles
     ndev = len(jax.devices())
     exact = getattr(args, "exact", False)
+    if exact and n_tiles > 1:
+        print(f"warning: --exact distributes over windows only; "
+              f"--tiles {n_tiles} ignored (the exact engine is sequential "
+              f"per window)", file=sys.stderr)
     need = n_windows if exact else n_windows * n_tiles
     if need > ndev:
         sys.exit(f"error: {'windows' if exact else f'grid ({n_windows}x{n_tiles})'}"

@@ -175,13 +175,21 @@ def render_track_frame(width: int, height: int, out,
     pos = np.asarray(out.track_pos)
     grp = np.asarray(out.track_group)
     lbl = np.asarray(out.track_label)
+    # reference gates: corners drawn only at frame_count >= 3
+    # (group_track.cpp:592); "(Gk)" appended only on a fresh detection,
+    # frames_since_last_detection == 0 (:615-617). Outputs that don't carry
+    # these fields (scalar -1 default, e.g. the tiled path) draw everything.
+    fs = np.asarray(getattr(out, "track_frames_since", -1))
+    fc = np.asarray(getattr(out, "track_frame_count", -1))
     for i in np.where(act)[0]:
+        if fc.ndim == 1 and fc[i] < 3:
+            continue
         col = (CLUSTER_COLORS[int(grp[i]) % len(CLUSTER_COLORS)]
                if grp[i] >= 0 else (200, 200, 200))
         px, py = int(round(pos[i, 0])), int(round(pos[i, 1]))
         img.circle(px, py, 2, col, filled=True)
         tag = str(int(lbl[i]))
-        if grp[i] >= 0:
+        if grp[i] >= 0 and not (fs.ndim == 1 and fs[i] != 0):
             tag += f"(G{int(grp[i])})"
         img.text(px + 5, py - 5, tag, col)
     return img
