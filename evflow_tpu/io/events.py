@@ -9,8 +9,9 @@ recorded-event readers producing fixed-shape arrays: a structure-of-arrays
 Supported formats:
   - CSV `x,y,t,p` (optics-clustering/test/event_raw_data8.csv) or `x,y`
   - .npz with keys x,y,t,p
-  - Metavision `.raw` EVT3 recordings (the reference's actual camera input;
-    '%'-header files dispatch to io/evt3.py — native + numpy decoders)
+  - Metavision `.raw` recordings, all three public generations (the
+    reference's actual camera input): '%'-header files dispatch by header to
+    io/evt3.py (EVT3 — native + numpy decoders) or io/evt2.py (EVT2/EVT2.1)
   - raw binary little-endian int32 quads (our own compact format)
 """
 
@@ -140,7 +141,7 @@ def load(path: str) -> EventStream:
         with open(path, "rb") as f:
             magic = f.read(1)
         if magic == b"%":
-            from .evt3 import load_evt3
-            return load_evt3(path)
+            from .evt2 import load_metavision_raw
+            return load_metavision_raw(path)
         return load_raw_i32(path)
     raise ValueError(f"unknown event file format: {path}")

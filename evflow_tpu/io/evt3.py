@@ -163,7 +163,8 @@ def load_evt3(path: str, use_native: bool = True) -> EventStream:
     if "EVT3" not in fmt.upper() and "3.0" not in fmt and "3.1" not in fmt:
         raise ValueError(
             f"{path}: not an EVT3 recording (header format={fmt!r}); "
-            "EVT2/EVT2.1 are not supported — convert with Metavision tools")
+            "for EVT2/EVT2.1 use io/evt2.py (events.load dispatches all "
+            "three generations by header)")
     payload = blob[off:]
     if use_native:
         from .. import native

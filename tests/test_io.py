@@ -237,3 +237,134 @@ def test_evt3_spec_word_vector():
         nx, ny, nt, np_ = res
         got_n = list(zip(nx.tolist(), ny.tolist(), nt.tolist(), np_.tolist()))
         assert got_n == expected, got_n
+
+
+# --------------------------------------------------------------------------
+# EVT2 / EVT2.1 .raw (the other two public RAW generations —
+# Camera::from_file accepts all three, accel …store.cpp:336; VERDICT r3 #8)
+# --------------------------------------------------------------------------
+
+def test_evt2_roundtrip(tmp_path):
+    from evflow_tpu.io import evt2, load
+    s = _blob_stream()
+    path = str(tmp_path / "rec2.raw")
+    evt2.save_evt2(s, path)
+    r = evt2.load_evt2(path)
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.y, s.y)
+    np.testing.assert_array_equal(r.t, s.t)
+    np.testing.assert_array_equal(r.p, s.p)
+    r2 = load(path)   # '%' magic + header sniff routes to the EVT2 decoder
+    np.testing.assert_array_equal(r2.x, s.x)
+
+
+def test_evt21_roundtrip_vectorized(tmp_path):
+    from evflow_tpu.io import evt2, load
+    # stream with same-(t,y,p) ascending-x runs to exercise the 32-bit
+    # validity-mask packing, plus isolated events
+    xs, ys, ts, ps = [], [], [], []
+    t = 1000
+    for row in range(8):
+        for i in range(40):            # run crosses one 32-wide window
+            xs.append(100 + row * 3 + i * 2)
+            ys.append(50 + row)
+            ts.append(t)
+            ps.append(row % 2)
+        t += 37
+        xs.append(700); ys.append(300 + row); ts.append(t); ps.append(1)
+        t += 100_001                   # crosses TIME_HIGH boundaries
+    from evflow_tpu.io.events import EventStream
+    s = EventStream(np.asarray(xs, np.int32), np.asarray(ys, np.int32),
+                    np.asarray(ts, np.int64), np.asarray(ps, np.int32))
+    path = str(tmp_path / "rec21.raw")
+    evt2.save_evt21(s, path, vectorize=True)
+    r = evt2.load_evt2(path)
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.y, s.y)
+    np.testing.assert_array_equal(r.t, s.t)
+    np.testing.assert_array_equal(r.p, s.p)
+    r2 = load(path)
+    np.testing.assert_array_equal(r2.t, s.t)
+
+
+def test_evt21_swapped_halves_autodetect(tmp_path):
+    from evflow_tpu.io import evt2
+    s = _blob_stream(n=2000)
+    path = str(tmp_path / "legacy.raw")
+    evt2.save_evt21(s, path, swapped_halves=True)
+    r = evt2.load_evt2(path)   # decoder must auto-detect the legacy layout
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.t, s.t)
+
+
+def test_evt2_spec_word_vector():
+    """Hand-constructed EVT 2.0 conformance vector per the published word
+    table (OpenEB evt2_raw_format.h) — NOT via save_evt2, so a shared
+    encoder/decoder misreading cannot pass it. Covers: TIME_HIGH assembly
+    (t[33:6]) with the 6-bit in-word LSBs, CD_ON/CD_OFF polarity-by-type,
+    x/y field extraction at the 11-bit boundaries, inert EXT_TRIGGER/OTHERS/
+    CONTINUED words, and a TIME_HIGH wrap epoch (+2^34 µs)."""
+    from evflow_tpu.io import evt2
+
+    def cd(p, ts6, x, y):
+        return (p << 28) | (ts6 << 22) | (x << 11) | y
+
+    words = [
+        (0x8 << 28) | 0x0000010,          # TIME_HIGH = 16 -> t base 1024
+        cd(1, 0x00, 400, 100),            # t = 1024
+        cd(0, 0x3F, 2047, 719),           # t = 1024+63, extreme x/y fields
+        (0xA << 28) | 0x7,                # EXT_TRIGGER (no CD)
+        (0xE << 28) | 0x123,              # OTHERS (no CD)
+        (0xF << 28) | 0x456,              # CONTINUED (no CD)
+        (0x8 << 28) | 0x0000011,          # TIME_HIGH = 17
+        cd(1, 0x01, 10, 20),              # t = 17*64 + 1 = 1089
+        (0x8 << 28) | 0x0000000,          # TIME_HIGH wraps 17 -> 0: +2^34
+        cd(0, 0x02, 1, 2),                # t = 2^34 + 2
+    ]
+    payload = np.asarray(words, dtype="<u4").tobytes()
+    expected = [
+        (400, 100, 1024, 1),
+        (2047, 719, 1087, 0),
+        (10, 20, 1089, 1),
+        (1, 2, (1 << 34) + 2, 0),
+    ]
+    x, y, t, p = evt2.decode_evt2_numpy(payload)
+    got = list(zip(x.tolist(), y.tolist(), t.tolist(), p.tolist()))
+    assert got == expected, got
+
+
+def test_evt21_spec_word_vector():
+    """Hand-constructed EVT 2.1 conformance vector per the published 64-bit
+    word table (OpenEB evt21_raw_format.h). Covers: vector CD words with
+    sparse 32-bit validity masks (bit i -> x_base+i), polarity by type
+    (EVT_NEG/EVT_POS), the 6-bit in-word time LSBs against TIME_HIGH at
+    bits [59:32], field boundaries, inert non-CD words, and a wrap epoch."""
+    from evflow_tpu.io import evt2
+
+    def vec(p, ts6, x, y, mask):
+        return (p << 60) | (ts6 << 54) | (x << 43) | (y << 32) | mask
+
+    words = [
+        (0x8 << 60) | (0x10 << 32),           # TIME_HIGH = 16
+        vec(1, 0x00, 600, 100, 0b101),        # x 600,602 @ t=1024 p=1
+        vec(0, 0x3F, 2016, 719, (1 << 31) | 1),  # x 2016,2047 @ t=1087 p=0
+        (0xA << 60) | 0xFFFF,                 # EXT_TRIGGER (no CD)
+        (0xE << 60) | 0x123,                  # OTHERS (no CD)
+        (0x8 << 60) | (0x11 << 32),           # TIME_HIGH = 17
+        vec(1, 0x01, 5, 6, 0b1),              # x 5 @ t=1089
+        (0x8 << 60) | (0x00 << 32),           # TIME_HIGH wraps: +2^34
+        vec(0, 0x02, 7, 8, 0b10),             # x 8 @ t=2^34+2
+    ]
+    payload = np.asarray(words, dtype="<u8").tobytes()
+    expected = [
+        (600, 100, 1024, 1), (602, 100, 1024, 1),
+        (2016, 719, 1087, 0), (2047, 719, 1087, 0),
+        (5, 6, 1089, 1),
+        (8, 8, (1 << 34) + 2, 0),
+    ]
+    x, y, t, p = evt2.decode_evt21_numpy(payload, swapped_halves=False)
+    got = list(zip(x.tolist(), y.tolist(), t.tolist(), p.tolist()))
+    assert got == expected, got
+    # and the auto-detector must classify this payload as NOT swapped
+    w = np.frombuffer(payload, dtype="<u8")
+    assert evt2._detect_swapped(w) is False
