@@ -32,13 +32,19 @@ Sequential state across window boundaries is handled in two stages:
    frame_count ages — are reconciled in stage 2 / bounded by max_frames; see
    tests/test_temporal.py.) EXCEPTION: the SAE time surface itself persists
    indefinitely in the sequential pipeline — a pixel last touched before a
-   window's warm-up holds 0 in that window's slab, so eFAST ring ORDERING
+   window's warm-up holds 0 in that window's slab, so eFAST detections
    near window starts can deviate where stale (pre-warm-up) timestamps
-   would have out-ranked fresh ones. In practice eFAST streak tests compare
-   only against the newest slice's writes (stale pixels lose either way);
-   the residual deviation is bounded empirically by tests/test_temporal.py.
-   Raising `warmup` tightens it (each warm-up slice refreshes the live
-   pixels that matter to detection).
+   decide a streak test. The deviation is ONE-SIDED — windowed runs can
+   only MISS corners, never add them: a windowed detection needs an
+   all-fresh arc (any stale arc pixel reads 0 and fails the strict
+   off_max < arc_min test), and fresh arc timestamps out-rank stale
+   off-arc pixels sequentially too. tests/test_temporal.py::
+   test_temporal_sae_warmup_adversarial constructs the miss (a stale
+   stroke forming a candidate's arcs with never-written off-arc pixels)
+   and verifies both the one-sidedness and the warm-up sizing rule:
+   the miss vanishes once `warmup` reaches back to the stale evidence's
+   last writer (warmup >= detection_slice - last_write_slice), which
+   re-paints it into the window's slab.
 
 2. **Schur-style block reduction for joint track refinement.** Inside the
    window scan, every track slot accumulates the normal equations of a

@@ -489,3 +489,98 @@ def test_window_tile_events_vectorized_prep():
         slices, 64, n_tiles, 2, cfg, capacity=cap, window_range=range(32, 64))
     assert lx.shape[0] == 32
     np.testing.assert_array_equal(lx, ox64[32:])
+
+
+@pytest.mark.slow
+def test_temporal_sae_warmup_adversarial():
+    """VERDICT r3 #7 — the one argued-not-tested temporal deviation, given
+    the tile-NMS treatment: an adversarial scene where a PRE-warm-up SAE
+    write decides a detection at a window start.
+
+    Scene: a 2-px-thick stroke (rows 60-61) is painted ONCE in global
+    slices 0-1 and never again; a probe event in window 1 (post-warmup)
+    lands 3-4 px below it, so the probe pixel's eFAST arcs (circle3 top 3,
+    circle4 top 5 — contiguous in the rings' angular order) read the STALE
+    stroke timestamps while every off-arc ring pixel was never written (0).
+    Sequentially the strict off_max < arc_min test passes (stale > never);
+    in the windowed run the stroke predates window 1's warm-up, the slab
+    reads 0 on the arcs, and the corner is MISSED. A static square
+    (repainted every slice, far away) keeps slices full and pins every
+    other detection equal across runs.
+
+    Measured bound (asserted): the deviation is exactly the one engineered
+    corner, and it is ONE-SIDED — windowed raw detections are never MORE
+    than sequential (a windowed detection needs an all-fresh arc, and fresh
+    arc timestamps out-rank any stale off-arc pixel sequentially too, so
+    false adds are impossible; only misses). Warm-up auto-sizing rule,
+    verified by the warmup=6 rerun: the deviation vanishes once warm-up
+    reaches back to the stale evidence's last writer (warmup >= probe_slice
+    - last_write_slice), which re-paints it into the window's slab."""
+    code = """
+import numpy as np, jax
+from evflow_tpu.io.events import EventStream
+from evflow_tpu.io.slicing import slice_by_count
+from evflow_tpu.models import pipeline
+from evflow_tpu.parallel import mesh as mesh_mod, temporal
+import jax.numpy as jnp
+
+N, S = 2048, 12
+PROBE_SLICE, PROBE = 8, (58, 64)
+sq_x, sq_y = np.meshgrid(np.arange(180, 220), np.arange(40, 80))
+sq = np.stack([sq_x.ravel(), sq_y.ravel()], 1)          # 1600 px, repainted
+stroke = np.stack(np.meshgrid(np.arange(50, 71), np.arange(60, 62)),
+                  -1).reshape(-1, 2)                     # rows 60-61
+xs, ys, ts = [], [], []
+for s in range(S):
+    ev = [sq]
+    if s in (0, 1):
+        ev.append(stroke)
+    if s == PROBE_SLICE:
+        ev.append(np.array([PROBE]))
+    ev = np.concatenate(ev)
+    pad = N - len(ev)
+    ev = np.concatenate([sq[:pad], ev])   # pad FIRST so probe/stroke stay last
+    xs.append(ev[:, 0]); ys.append(ev[:, 1])
+    ts.append(10000 * (s + 1) + np.arange(N))
+stream = EventStream(np.concatenate(xs).astype(np.int32),
+                     np.concatenate(ys).astype(np.int32),
+                     np.concatenate(ts).astype(np.int64),
+                     np.zeros(S * N, np.int32))
+slices = slice_by_count(stream, CFG.slicing.n_events)
+
+# sequential reference (full frame)
+st = pipeline.init_corner_state(CFG)
+mask = slices.valid_mask()
+seq = []
+for s in range(S):
+    st, o = pipeline.corner_track_step(
+        st, jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
+        jnp.asarray((slices.t[s] - slices.t[0, 0]).astype(np.int32)),
+        jnp.asarray(mask[s]), CFG)
+    seq.append(int(o.num_corners))
+seq = np.asarray(seq)
+
+def windowed(warmup):
+    n_windows, n_tiles = 2, 2
+    grid = mesh_mod.make_grid_mesh(n_windows, n_tiles, CFG.parallel)
+    out = jax.device_get(temporal.run_temporal(
+        slices, grid, n_windows, n_tiles, warmup, CFG))
+    return np.asarray(out.num_corners).reshape(-1)
+
+win = windowed(2)   # window 1 warm-up = slices 4,5: stroke (0-1) is stale
+assert seq[PROBE_SLICE] >= 1, seq
+# one-sided: windowed never detects MORE than sequential
+assert (win <= seq).all(), (win, seq)
+# the deviation is exactly the engineered stale-evidence corner
+diff = seq - win
+expect = np.zeros(S, int); expect[PROBE_SLICE] = 1
+assert (diff == expect).all(), (seq, win)
+
+# auto-size rule: warm-up reaching the stale writer closes the window
+win6 = windowed(6)  # window 1 warm-up = slices 0..5 repaints the stroke
+assert (win6 == seq).all(), (seq, win6)
+print('sae warmup adversarial ok')
+"""
+    r = _run_cpu8(code)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "sae warmup adversarial ok" in r.stdout
