@@ -9,10 +9,20 @@ Baseline: the reference's nominal design cadence of 16384 events / 50 ms
 (~327.7k events/s, SURVEY §6 — the only throughput the OpenCL pipeline is
 specified to sustain end-to-end). vs_baseline = achieved events/s / 327,680.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"micro_slices", "agreement"} — the last two tag the headline with its
+fidelity mode: micro_slices is the corner path's q (config.py EFastConfig),
+agreement the measured within-one-NMS-box agreement of its pre-NMS corner
+sets vs the per-event-exact reference semantics at that q (the
+benchmarks/corner_fidelity.py metric, computed live on the repainted-wedge
+scene in a CPU-backend subprocess — numerically identical, and it keeps the
+host quiet during the TPU timing window). The headline can no longer trade
+parity for speed silently (VERDICT r3 weak #1).
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -21,6 +31,69 @@ import jax.numpy as jnp
 
 
 BASELINE_EVENTS_PER_S = 16384 / 0.05  # 327,680 — reference slice cadence
+
+
+def measure_agreement(q: int) -> float:
+    """Within-box agreement of the micro-slice detector vs event-exact
+    detection (tests/test_event_exact.py methodology, wedge scene)."""
+    import dataclasses
+    from evflow_tpu.config import (EngineConfig, SensorConfig, SliceConfig,
+                                   NMSConfig)
+    from evflow_tpu.models import pipeline
+    from evflow_tpu.ops import sae as sae_ops, efast
+
+    cfg = EngineConfig(sensor=SensorConfig(width=128, height=128),
+                       slicing=SliceConfig(n_events=2048),
+                       nms=NMSConfig(max_corners=64))
+    cfgq = dataclasses.replace(
+        cfg, efast=dataclasses.replace(cfg.efast, micro_slices=q,
+                                       max_candidates=2048))
+
+    def wedge(cx, cy, t0, n=2048, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(max(0, cx - 40), cx + 1, n).astype(np.int32)
+        y = rng.integers(max(0, cy - 40), cy + 1, n).astype(np.int32)
+        t = (t0 + np.sort(rng.integers(0, 900, n))).astype(np.int32)
+        return x, y, t
+
+    exact, got = [], []
+    sae_e = sae_ops.init_sae(cfg.sensor)
+    sae_q = sae_ops.init_sae(cfg.sensor)
+    cx, cy = 50, 50
+    for s in range(8):
+        x, y, t = wedge(cx, cy, 1000 * (s + 1), seed=s)
+        xv, yv, tv = jnp.asarray(x), jnp.asarray(y), jnp.asarray(t)
+        ones = jnp.ones(len(x), bool)
+        sae_e, m = pipeline.event_exact_corner_mask(
+            sae_e, xv, yv, tv, ones, jnp.bool_(s > 0), cfg)
+        m = np.asarray(m)
+        exact.append({(int(a), int(b)) for a, b in zip(x[m], y[m])})
+        pix = set()
+        nsub = len(x) // q
+        for k in range(q):
+            sl = slice(k * nsub, (k + 1) * nsub)
+            sae_q = sae_ops.update_sae(sae_q, xv[sl], yv[sl], tv[sl],
+                                       jnp.ones(nsub, bool))
+            scx, scy, scv, _ = pipeline._representative_candidates(
+                sae_q, xv[sl], yv[sl], tv[sl], jnp.ones(nsub, bool),
+                2048 // q, cfgq)
+            mk = np.asarray(efast.detect_corners(sae_q, scx, scy, scv,
+                                                 cfgq.efast, cfgq.sensor))
+            if s > 0:
+                sx, sy_ = np.asarray(scx), np.asarray(scy)
+                pix |= {(int(a), int(b)) for a, b in zip(sx[mk], sy_[mk])}
+        got.append(pix)
+        cx += 6
+
+    hits = tot = 0
+    box = cfg.nms.box_size
+    for e, g in zip(exact, got):
+        ga = np.array(sorted(g), float).reshape(-1, 2)
+        for p in e:
+            tot += 1
+            if len(ga) and np.abs(ga - np.array(p, float)).max(1).min() <= box:
+                hits += 1
+    return hits / max(tot, 1)
 
 
 def main():
@@ -75,13 +148,33 @@ def main():
 
     total_events = n_slices * n
     events_per_s = total_events / mean_step
+
+    # fidelity tag: agreement at this config's q, in a CPU-backend subprocess
+    # AFTER the timing window (concurrent host work degrades relay timings)
+    q = cfg.efast.micro_slices
+    try:
+        import os
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, __file__, "--agreement", str(q)],
+                           capture_output=True, text=True, timeout=600,
+                           env=env)
+        agreement = float(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        agreement = -1.0   # never block the headline on the fidelity probe
+
     print(json.dumps({
         "metric": "cluster+track pipeline throughput",
         "value": round(events_per_s, 1),
         "unit": "events/s/chip",
         "vs_baseline": round(events_per_s / BASELINE_EVENTS_PER_S, 2),
+        "micro_slices": q,
+        "agreement": round(agreement, 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--agreement":
+        jax.config.update("jax_platforms", "cpu")
+        print(measure_agreement(int(sys.argv[2])))
+    else:
+        main()

@@ -100,6 +100,14 @@ class ClusterConfig:
     # Kept as an opt-in for genuinely stable-cluster streams.
     # Requires kappa == 0 (the deployed default), else ignored.
     exact_block: int = 0
+    # r4: run the exact engine as ONE Pallas kernel per slice
+    # (models/aeclustering_pallas.py — the whole per-event state machine in
+    # a single Mosaic program, amortized-O(1) deque forget). Bit-equal to
+    # the per-event scan on every state field (tested); measured 1.3-1.5
+    # us/event vs the scan's 17.1 on TPU (benchmarks/prof_exact_pallas.py).
+    # Used when kappa == 0 and the backend is TPU; the CPU backend keeps
+    # the XLA scan (interpret-mode Pallas is slower there, results equal).
+    exact_pallas: bool = True
 
     @staticmethod
     def async_app() -> "ClusterConfig":

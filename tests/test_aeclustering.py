@@ -225,3 +225,116 @@ def test_blocked_all_hazard_blocks():
         np.testing.assert_array_equal(
             np.asarray(getattr(sta, f)), np.asarray(getattr(stb, f)),
             err_msg=f"field={f}")
+
+
+# --------------------------------------------------------------------------
+# Pallas sequential engine (models/aeclustering_pallas.py, r4)
+# --------------------------------------------------------------------------
+
+def _pallas_interp():
+    """interpret=True off-TPU (tests default to the CPU backend)."""
+    return jax.default_backend() != "tpu"
+
+
+def _assert_states_equal(sta, stb, msg=""):
+    for f in sta._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sta, f)), np.asarray(getattr(stb, f)),
+            err_msg=f"{msg} field={f}")
+
+
+def test_pallas_bit_equals_per_event_scan():
+    """update_slice_pallas == update_slice bit-for-bit on the blocked-engine
+    adversarial stream (merges from drifting blobs, creations/removals from
+    isolated noise, 5% invalid lanes, carry-in state across 5 slices)."""
+    from evflow_tpu.models import aeclustering_pallas as aep
+    rng = np.random.default_rng(7)
+    n_slices, n = 5, 200
+    centers = np.array([[50., 50.], [120., 80.], [220., 40.]])
+    vel = np.array([[9., 4.], [-7., 5.], [2., -3.]])
+    t_base = 0
+    sta = ae.init_state(CFG)
+    stb = ae.init_state(CFG)
+    interp = _pallas_interp()
+    for s in range(n_slices):
+        c = rng.integers(0, 3, n)
+        xs = (centers[c, 0] + rng.normal(0, 6, n)).astype(np.int32)
+        ys = (centers[c, 1] + rng.normal(0, 6, n)).astype(np.int32)
+        nz = rng.random(n) < 0.1
+        xs[nz] = rng.integers(0, 600, nz.sum())
+        ys[nz] = rng.integers(0, 400, nz.sum())
+        ts = t_base + np.sort(rng.integers(0, 1000, n)).astype(np.int32)
+        ps = rng.integers(0, 2, n).astype(np.int32)
+        valid = rng.random(n) < 0.95
+        t_base += 1000
+        centers += vel
+        a = jnp.asarray
+        sta = ae.update_slice(sta, a(xs), a(ys), a(ts), a(ps), a(valid), CFG)
+        stb = aep.update_slice_pallas(stb, a(xs), a(ys), a(ts), a(ps),
+                                      a(valid), CFG, interpret=interp)
+        _assert_states_equal(sta, stb, f"slice {s}")
+
+
+def test_pallas_ring_wrap_and_overflow():
+    """Tiny capacities: the member ring wraps (live-tail overwrite drops),
+    window expiry crosses the wrap, and cluster capacity overflows (new
+    clusters dropped + counted) — the kernel's tail/full bookkeeping paths."""
+    from evflow_tpu.models import aeclustering_pallas as aep
+    cfg = ClusterConfig(sz_buffer=24, radius=10.0, min_n=2,
+                        max_clusters=6, max_members=32)
+    rng = np.random.default_rng(11)
+    sta = ae.init_state(cfg)
+    stb = ae.init_state(cfg)
+    interp = _pallas_interp()
+    t_base = 100
+    for s in range(6):
+        n = 48   # > max_members per slice -> guaranteed wrap
+        # many isolated points -> creations, removals, capacity overflow
+        xs = ((np.arange(n) * 83 + s * 17) % 500).astype(np.int32)
+        ys = ((np.arange(n) * 41 + s * 29) % 300).astype(np.int32)
+        # plus a dense blob that persists (lives across ring wrap)
+        xs[::4] = 250 + rng.integers(-4, 5, len(xs[::4]))
+        ys[::4] = 150 + rng.integers(-4, 5, len(ys[::4]))
+        ts = (t_base + np.sort(rng.integers(0, 400, n))).astype(np.int32)
+        ps = rng.integers(0, 2, n).astype(np.int32)
+        valid = rng.random(n) < 0.9
+        t_base += 450
+        a = jnp.asarray
+        sta = ae.update_slice(sta, a(xs), a(ys), a(ts), a(ps), a(valid), cfg)
+        stb = aep.update_slice_pallas(stb, a(xs), a(ys), a(ts), a(ps),
+                                      a(valid), cfg, interpret=interp)
+        _assert_states_equal(sta, stb, f"slice {s}")
+    assert int(np.asarray(sta.overflow)) > 0   # the scene must overflow
+
+
+def test_pallas_all_isolated_churn():
+    """Every event creates a cluster that the next removes (the blocked
+    engine's worst case) — creations/empty-removals dominate."""
+    from evflow_tpu.models import aeclustering_pallas as aep
+    rng = np.random.default_rng(3)
+    n = 96
+    xs = (np.arange(n, dtype=np.int32) * 97) % 1200
+    ys = (np.arange(n, dtype=np.int32) * 53) % 700
+    ts = np.sort(rng.integers(0, 5000, n)).astype(np.int32)
+    ps = np.zeros(n, np.int32)
+    valid = np.ones(n, bool)
+    a = jnp.asarray
+    sta = ae.update_slice(ae.init_state(CFG), a(xs), a(ys), a(ts), a(ps),
+                          a(valid), CFG)
+    stb = aep.update_slice_pallas(ae.init_state(CFG), a(xs), a(ys), a(ts),
+                                  a(ps), a(valid), CFG,
+                                  interpret=_pallas_interp())
+    _assert_states_equal(sta, stb)
+
+
+def test_pallas_empty_and_allinvalid_slices():
+    from evflow_tpu.models import aeclustering_pallas as aep
+    a = jnp.asarray
+    n = 16
+    z = np.zeros(n, np.int32)
+    sta = ae.update_slice(ae.init_state(CFG), a(z), a(z), a(z), a(z),
+                          a(np.zeros(n, bool)), CFG)
+    stb = aep.update_slice_pallas(ae.init_state(CFG), a(z), a(z), a(z),
+                                  a(z), a(np.zeros(n, bool)), CFG,
+                                  interpret=_pallas_interp())
+    _assert_states_equal(sta, stb)
