@@ -23,7 +23,23 @@ def setup_cache(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
+        # key the cache by host CPU model: XLA:CPU persists AOT results whose
+        # machine features must match the executing host — a cache written on
+        # one machine type spews loader errors (and falls back) on another
+        # (observed across the driver's machines, VERDICT r3 minor)
+        import platform as _platform
+        import zlib as _zlib
+        tag = "-" + _platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("model name", "flags")):
+                        tag = "-%08x" % _zlib.crc32(
+                            line.split(":", 1)[1].strip().encode())
+                        break
+        except OSError:
+            pass
         cache_dir = _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache")
+            _os.path.abspath(__file__))), ".jax_cache" + tag)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -596,6 +596,13 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
 
     def build(max_neighbors):
         table = None
+        if method == "sharded":
+            # dense row panels sharded over the local device mesh
+            # (parallel/batch.py — the reference's thread fan-out,
+            # optics.hpp:456-514, as a mesh program); bit-identical rows
+            from ..parallel.batch import compute_neighbors_sharded
+            return compute_neighbors_sharded(points, epsilon, min_pts,
+                                             max_neighbors=max_neighbors)
         if method == "cellpair" or (method == "auto" and points.shape[1] <= 2):
             table = compute_neighbors_cellpair(points, epsilon, min_pts,
                                                max_neighbors=max_neighbors)

@@ -152,7 +152,12 @@ def cmd_kmeans(args):
     from .models.kmeans import kmeans
     pts = synthetic.kmeans_ramp_data(args.n)
     init = synthetic.kmeans_initial_centroids()
-    res = kmeans(jnp.asarray(pts), jnp.asarray(init), cfg=KMeansConfig())
+    if getattr(args, "sharded", False):
+        from .parallel.batch import kmeans_sharded
+        res = kmeans_sharded(jnp.asarray(pts), jnp.asarray(init),
+                             cfg=KMeansConfig())
+    else:
+        res = kmeans(jnp.asarray(pts), jnp.asarray(init), cfg=KMeansConfig())
     print(f"iters={int(res.iters)} error_max={float(res.error_max):.3f}")
     for j, (c, n) in enumerate(zip(np.asarray(res.centroids),
                                    np.asarray(res.counts))):
@@ -250,8 +255,13 @@ def cmd_dbscan(args):
         pts = np.stack([s.x, s.y], axis=1).astype(np.float32)
     cfg = DBSCANConfig(eps=args.eps, core_min_pts=args.min_pts,
                        min_cluster_size=args.min_cluster_size)
-    # grid-bucketed neighbors when they apply (d<=3), dense panels otherwise
-    res = dbscan_grid(pts, cfg=cfg)
+    if getattr(args, "sharded", False):
+        # row-sharded panels over all local devices (parallel/batch.py)
+        from .parallel.batch import dbscan_sharded
+        res = dbscan_sharded(jnp.asarray(pts), cfg=cfg)
+    else:
+        # grid-bucketed neighbors when they apply (d<=3), dense otherwise
+        res = dbscan_grid(pts, cfg=cfg)
     labels = np.asarray(res.labels)
     print(f"clusters={int(res.num_clusters)}")
     if args.export:
@@ -368,14 +378,18 @@ def main(argv=None):
     add("track-estimate", cmd_track_estimate, decimate=512)
     add_ckpt(add("corner-track", cmd_corner_track))
     p = sub.add_parser("kmeans", help=cmd_kmeans.__doc__)
+    p.add_argument("--sharded", action="store_true",
+                   help="assignment row-sharded over all local devices")
     p.set_defaults(fn=cmd_kmeans)
     p.add_argument("--n", type=int, default=2048)
     add("sampling", cmd_sampling)
     p = add("optics", cmd_optics)
     p.add_argument("--method", default="auto",
-                   choices=("auto", "cellpair", "grid", "dense"),
+                   choices=("auto", "cellpair", "grid", "dense", "sharded"),
                    help="neighbor backend (auto: cellpair at d<=2, else "
-                        "grid up to d=4, else dense panels)")
+                        "grid up to d=4, else dense panels; sharded = dense "
+                        "panels row-sharded over all local devices, "
+                        "parallel/batch.py)")
     p.add_argument("--max-neighbors", type=int, default=256)
     p.add_argument("--full-window", action="store_true",
                    help="grid skips nearest-k selection and returns masked "
@@ -388,6 +402,8 @@ def main(argv=None):
                         "of the reachability threshold")
     p.add_argument("--export", default="")
     p = add("dbscan", cmd_dbscan)
+    p.add_argument("--sharded", action="store_true",
+                   help="O(N^2) panels row-sharded over all local devices")
     p.add_argument("--eps", type=float, default=20.0)
     p.add_argument("--min-pts", type=int, default=20)
     p.add_argument("--min-cluster-size", type=int, default=100)

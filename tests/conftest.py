@@ -19,9 +19,8 @@ import jax
 if not os.environ.get("EVFLOW_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import evflow_tpu
+evflow_tpu.setup_cache()   # machine-keyed dir (cross-machine AOT mismatch spew)
 
 import numpy as np
 import pytest
