@@ -120,6 +120,100 @@ def run_multiprocess(args):
             print(f"proc {i} failed (rc {p.returncode})")
 
 
+def _summary_bytes(cfg) -> int:
+    """Bytes all_gathered per window per pipeline run (computed from the
+    TrackletBlocks + cluster-table shapes in temporal.make_temporal_pipeline):
+    the ONLY cross-process traffic of the temporal design."""
+    t = cfg.tracker.max_tracks
+    c = cfg.cluster.max_clusters
+    blocks = t * (4 + 4            # label, nobs (int32)
+                  + 4 + 4          # u_first, u_last (f32)
+                  + 4 * 2 * 4      # pos/vel first/last (T, 2)
+                  + 9 * 4 + 6 * 4) # H (T,3,3), g (T,3,2)
+    tables = 2 * (c * 2 * 4 + c)   # first/final centroid (C,2) + ok mask
+    return blocks + tables
+
+
+def run_pinned(args):
+    """VERDICT r3 #5: the 2-host efficiency as a MEASUREMENT, not an argument.
+
+    The r2 number (11.9 s two-process vs 7.7 s one-process) was confounded:
+    both Gloo processes timeshared the same cores. Here every process is
+    pinned to a DISJOINT core set (taskset) and per-process resources are
+    held constant: baseline = 1 process on 1 core running ONE window
+    (4 tiles, n_emit slices); scaled = 2 processes on 1 core each running
+    one window EACH (2 windows total). Window-parallel efficiency
+    = T_base / T_scaled (ideal 1.0 — twice the work, twice the cores).
+    Also prints the computed per-window all_gather summary size — the only
+    cross-process traffic.
+    """
+    import shutil
+    import socket
+    import subprocess
+    import tempfile
+    import time
+    import sys as _sys
+
+    if shutil.which("taskset") is None:
+        print("taskset not available; cannot pin cores")
+        return
+    ncores = os.cpu_count()
+    if ncores < 2:
+        print(f"only {ncores} core(s); cannot pin 2 disjoint sets")
+        return
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    # baseline: 1 process, 1 core, 1 window x 4 tiles, n_emit=4
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    r = subprocess.run(
+        ["taskset", "-c", "0", _sys.executable, os.path.abspath(__file__),
+         "--one-proc-grid", "--grid-windows", "1", "--total",
+         str(args.total)], env=env, capture_output=True, text=True)
+    print(r.stdout, end="")
+    if r.returncode:
+        print(r.stderr[-2000:])
+        return
+    base_wall = float(r.stdout.split("wall")[1].split("s")[0])
+
+    # scaled: 2 processes, 1 disjoint core each, 1 window each
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    tdir = tempfile.mkdtemp(prefix="evflow_pinned_")
+    paths = [os.path.join(tdir, f"w{i}.log") for i in range(2)]
+    files = [open(p, "w") for p in paths]
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(i), _sys.executable, os.path.abspath(__file__),
+         "--worker", str(i), "--port", str(port), "--nprocs", "2",
+         "--total", str(args.total)],
+        env=env, stdout=files[i], stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        p.wait(timeout=900)
+    time.sleep(1.0)
+    wall2 = None
+    for i, p in enumerate(procs):
+        files[i].close()
+        with open(paths[i]) as f:
+            for line in f:
+                if "wall" in line:
+                    print(line, end="")
+                    wall2 = float(line.split("wall")[1].split("s")[0])
+        if p.returncode:
+            print(f"proc {i} failed (rc {p.returncode})")
+            return
+    if wall2:
+        from evflow_tpu.config import EngineConfig, ClusterConfig
+        cfg = EngineConfig(cluster=ClusterConfig(radius=40.0, min_n=10,
+                                                 max_clusters=64))
+        print(f"pinned window-parallel efficiency: {base_wall / wall2:.2f} "
+              f"(1 window/1 core {base_wall:.3f}s -> 2 windows/2 cores "
+              f"{wall2:.3f}s; all_gather summary "
+              f"{_summary_bytes(cfg)} B/window)")
+
+
 def run_corner_scaling(args):
     """Tiled corner step (SAE slabs + halos + eFAST + TILE-LOCAL NMS) at
     constant total work: events AND the NMS candidate budget split across
@@ -202,6 +296,10 @@ def main():
     ap.add_argument("--cap", type=int, default=2048,
                     help="TOTAL NMS candidate budget (split across tiles)")
     ap.add_argument("--one-proc-grid", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--grid-windows", type=int, default=2, help=argparse.SUPPRESS)
+    ap.add_argument("--pinned", action="store_true",
+                    help="taskset-pinned 2-process efficiency measurement "
+                         "(disjoint cores, constant per-window work)")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
     ap.add_argument("--nprocs", type=int, default=2, help=argparse.SUPPRESS)
@@ -213,9 +311,14 @@ def main():
     if args.one_proc_grid:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        best, n_ev = _temporal_wall(2, len(jax.devices()) // 2, 2, 8, args.total)
-        print(f"processes=1  windows=2  {n_ev / best / 1e6:7.2f} M events/s  "
+        w = args.grid_windows
+        nt = len(jax.devices()) // w
+        best, n_ev = _temporal_wall(w, nt, 2, 4 * w, args.total)
+        print(f"processes=1  windows={w}  {n_ev / best / 1e6:7.2f} M events/s  "
               f"wall {best:6.3f}s (temporal pipeline, single-process grid)")
+        return
+    if args.pinned:
+        run_pinned(args)
         return
     if args.multiprocess:
         run_multiprocess(args)

@@ -117,6 +117,97 @@ def _compute_neighbors_jit(pts_pad, pts, eps, k, block, nblocks, min_pts, approx
     return idx, dist, cnt, core
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
+                                             "min_pts"))
+def _compute_neighbors_2stage_jit(pts_pad, pts, eps, k, block, nblocks,
+                                  min_pts):
+    """Two-stage dense panel (r4, VERDICT item 3): a CENTERED one-pass bf16
+    MXU panel culls at an error-inflated radius, then only the selected
+    candidates get exact difference-form fp32 distances.
+
+    The HIGHEST panel runs the 6-pass fp32-accurate matmul scheme; at d >= 4
+    and n = 100k that panel is most of the dense path's time. Stage 1
+    replaces it with ONE bf16 pass on coordinates shifted to the cloud mean
+    (the bf16 rounding error of the cross term is |err(2 r·q)| <=
+    2^-7·|r||q| by Cauchy-Schwarz on the 2^-9-relative input rounding —
+    centering shrinks |r||q| by orders of magnitude at the benchmark's
+    coordinate scales; this is the same failure algebra as the 80x
+    bf16-neighbor-inflation incident, used constructively). The gate
+    eps² + 2^-5·|r||q| (4x safety margin over the bound) therefore admits a
+    strict SUPERSET of the true ε-neighbors; stage 2 gathers the top-k'
+    candidates and computes exact difference-form distances (the grid path's
+    form — more accurate than any |a|²+|b|²-2ab panel), re-masks at the true
+    eps, and re-ranks. Result rows equal the dense path's neighbor SETS
+    whenever neighborhoods fit k (equivalence-tested incl. the ~1e3
+    coordinate scale); distances/core come from the diff form (grid-path
+    semantics). Neighborhoods overflowing k keep the nearest k as usual
+    (count still reports the bf16-superset size >= true size, so the
+    auto-raise path still fires)."""
+    n = pts.shape[0]
+    c = jnp.mean(pts, axis=0)
+    pts_c = pts - c
+    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+
+    def body(i, acc):
+        ia, da, ca = acc
+        rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0) - c
+        r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+        cross = jnp.dot(rows.astype(jnp.bfloat16),
+                        pts_c.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        d2b = r2 + q2 - 2.0 * cross
+        err = jnp.float32(2.0 ** -5) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
+        keep = d2b <= eps * eps + err
+        cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
+        masked = jnp.where(keep, d2b, jnp.inf)
+        neg, idx = jax.lax.top_k(-masked, k)
+        cand = pts_c[idx]                              # (B, k, d)
+        d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
+        d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
+        dx = jnp.sqrt(d2x)
+        dx = jnp.where(dx <= eps, dx, jnp.inf)
+        order = jnp.argsort(dx, axis=1)
+        dx = jnp.take_along_axis(dx, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        idx = jnp.where(jnp.isfinite(dx), idx, -1)
+        return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(da, dx, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(ca, cnt, i * block, 0))
+
+    init = (jnp.zeros((nblocks * block, k), jnp.int32),
+            jnp.full((nblocks * block, k), jnp.inf, jnp.float32),
+            jnp.zeros((nblocks * block,), jnp.int32))
+    idx, dist, cnt = jax.lax.fori_loop(0, nblocks, body, init)
+    idx, dist, cnt = idx[:n], dist[:n], cnt[:n]
+    # true within-eps count per row (exact-refined, capped at k) for core;
+    # cnt above keeps the superset size for the auto-raise overflow check
+    cnt_true = jnp.sum(jnp.isfinite(dist), axis=1).astype(jnp.int32)
+    if min_pts <= k:
+        core = dist[:, min_pts - 1]
+    else:
+        core = jnp.full((n,), jnp.inf, jnp.float32)
+    core = jnp.where(cnt_true >= min_pts, core, jnp.inf)
+    return idx, dist, cnt, core
+
+
+def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
+                             max_neighbors: int = 256,
+                             block: int = 2048) -> NeighborTable:
+    """Dense ε-neighborhoods via the bf16-prefilter two-stage panel (see
+    _compute_neighbors_2stage_jit). Same output contract as
+    compute_neighbors."""
+    pts = jnp.asarray(points, jnp.float32)
+    n = pts.shape[0]
+    k = min(max_neighbors, n)
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    pts_pad = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    idx, dist, cnt, core = _compute_neighbors_2stage_jit(
+        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts)
+    return NeighborTable(idx, dist, cnt, core)
+
+
 def compute_neighbors(points: np.ndarray, eps: float, min_pts: int,
                       max_neighbors: int = 256, block: int = 2048,
                       approx: bool = False) -> NeighborTable:
@@ -617,6 +708,10 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
             if table is None and method == "grid":
                 raise ValueError("grid neighbor search does not apply "
                                  "(degenerate grid or over-dense cells)")
+        if table is None and method == "dense2":
+            table = compute_neighbors_2stage(points, epsilon, min_pts,
+                                             max_neighbors=max_neighbors,
+                                             block=block)
         if table is None:
             table = compute_neighbors(points, epsilon, min_pts,
                                       max_neighbors=max_neighbors, block=block,

@@ -482,3 +482,60 @@ def test_4d_grid_select_mode_and_entry_cap():
                                        full_window=True,
                                        full_window_entry_cap=1000)
     assert g3 is not None and np.asarray(g3.idx).shape[1] == 16
+
+
+def test_two_stage_dense_equals_dense_neighbor_sets():
+    """r4 (VERDICT item 3): the bf16-prefilter two-stage dense panel must
+    reproduce the HIGHEST dense path's neighbor SETS exactly — including at
+    the ~1e3 coordinate scale where raw bf16 distances once inflated
+    neighborhoods 80x (the gate's error bound is what makes bf16 safe here).
+    count is documented as a superset upper bound (>= true, drives
+    auto-raise); core distances use the more-accurate diff form."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for d, n in ((4, 4000), (6, 4000), (2, 3000)):
+        pts = uniform_cloud(n, d, seed=3)        # coords ~1e3
+        eps = optics.epsilon_estimation(pts, 10)
+        a = optics.compute_neighbors(pts, eps, 10, 128)
+        b = optics.compute_neighbors_2stage(pts, eps, 10, 128)
+        ia, ib = np.asarray(a.idx), np.asarray(b.idx)
+        ca, cb = np.asarray(a.count), np.asarray(b.count)
+        for i in range(n):
+            assert set(ia[i][ia[i] >= 0]) == set(ib[i][ib[i] >= 0]), (d, i)
+        assert (cb >= ca).all(), (d, "superset count must bound true count")
+        # core: min_pts-th distance, diff-form vs panel-form — allclose
+        ka, kb = np.asarray(a.core_dist), np.asarray(b.core_dist)
+        fin = np.isfinite(ka)
+        assert (fin == np.isfinite(kb)).all()
+        # tolerance note: the HIGHEST panel's |a|²+|b|²-2ab cancellation at
+        # |coords|² ~ 4e6 carries ~0.25 absolute d² error (2^-24 rounding),
+        # i.e. ~5e-3 on distances; the diff form is the accurate side
+        np.testing.assert_allclose(ka[fin], kb[fin], rtol=1e-3, atol=0.02)
+
+
+def test_two_stage_dense_reachability_end_to_end():
+    """dense2 through the public sweep: reachability output must match the
+    dense method's on a clustered cloud (same neighbor sets -> same sweep)."""
+    rng = np.random.default_rng(5)
+    cents = rng.uniform(0, 800, (6, 4))
+    pts = (cents[rng.integers(0, 6, 1500)]
+           + rng.normal(0, 10, (1500, 4))).astype(np.float64)
+    rd_a = optics.compute_reachability_dists(pts, 8, 40.0, method="dense")
+    rd_b = optics.compute_reachability_dists(pts, 8, 40.0, method="dense2")
+    # visit ORDER can permute where reach values tie within the panel-form's
+    # fp cancellation noise (same property the grid path has vs dense);
+    # compare the per-POINT reachability values instead
+    da = np.full(len(pts), -2.0); db = np.full(len(pts), -2.0)
+    for r in rd_a:
+        da[r.point_index] = r.reach_dist
+    for r in rd_b:
+        db[r.point_index] = r.reach_dist
+    unreached = da < 0
+    assert (unreached == (db < 0)).all()
+    # reach_dist is visit-order dependent (a permuted pop order can hand a
+    # point a different predecessor), so a FEW points may genuinely differ;
+    # assert near-total agreement plus identical cluster extraction
+    close = np.isclose(da[~unreached], db[~unreached], rtol=1e-3, atol=0.05)
+    assert close.mean() >= 0.995, close.mean()
+    ca = optics.get_cluster_indices(rd_a, 20.0)
+    cb = optics.get_cluster_indices(rd_b, 20.0)
+    assert sorted(map(sorted, ca)) == sorted(map(sorted, cb))
