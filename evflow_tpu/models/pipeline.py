@@ -134,56 +134,32 @@ class ClusterFlowPipeline:
 
     def _run_exact(self, slices: EventSlices, state, stream: EventStream,
                    t0: Optional[int]) -> List[ClusterFlowOutput]:
-        """Exact-mode driver: cluster_flow_step_exact per slice, with the
-        fast path's output surface. flow = reported-centroid delta per
-        persistent cid × cfg.flow.extrapolation (0 on a cluster's first
-        report) — the same semantics fastcluster.update_slice computes
-        on-device (accel …store.cpp:500-545 arrow construction)."""
+        """Exact-mode driver: one device-resident lax.scan over all slices
+        (cluster_flow_scan_exact) with the fast path's output surface;
+        per-slice outputs come back in a single transfer. flow =
+        reported-centroid delta per persistent cid × cfg.flow.extrapolation
+        (0 on a cluster's first report) — the same semantics
+        fastcluster.update_slice computes on-device (accel …store.cpp:500-545
+        arrow construction). r4: previously a per-slice host loop with a
+        device_get each slice — a ~28 ms/slice relay floor that dwarfed the
+        Pallas engine's ~8 ms slices."""
         cfg = self.cfg
-        ae_state, cum, prev_cid, prev_cent = state
-        prev_cid = np.asarray(prev_cid)
-        prev_cent = np.asarray(prev_cent, np.float32)
         if t0 is None:
             t0 = int(stream.t[0]) if len(stream) else 0
         self.t0 = t0
+        if slices.num_slices == 0:
+            self.final_state = state
+            return []
         mask = slices.valid_mask()
-        outs = []
-        prev_cum = int(cum)
-        for s in range(slices.num_slices):
-            t_rel = (slices.t[s].astype(np.int64) - t0).astype(np.int32)
-            ae_state, view, cum = cluster_flow_step_exact(
-                ae_state, jnp.asarray(slices.x[s]), jnp.asarray(slices.y[s]),
-                jnp.asarray(t_rel), jnp.asarray(mask[s]), cfg, cum)
-            view = jax.device_get(view)
-            n_valid = int(mask[s].sum())
-            uniq = int(cum) - prev_cum
-            prev_cum = int(cum)
-            alive = np.asarray(view.alive)
-            n_c = np.asarray(view.n)
-            reported = alive & (n_c >= cfg.cluster.min_n)
-            cent = np.asarray(view.centroid)
-            cids = np.asarray(view.cid)
-            # per-lane flow memory (fastcluster.update_slice step 6
-            # semantics) keyed by cid: a flow is reported only when the
-            # SAME cluster (same cid on the lane) was reported before — the
-            # exact engine reuses lanes within a slice, so occupancy alone
-            # would pair a new cluster with the dead occupant's centroid
-            # (observed: ~600 px bogus arrows). Lives in the pipeline state
-            # so flow survives a checkpoint/resume split.
-            same = reported & (prev_cid == cids) & (prev_cid >= 0)
-            flow = np.where(same[:, None],
-                            (cent - prev_cent) * cfg.flow.extrapolation, 0.0)
-            prev_cent = np.where(reported[:, None], cent, prev_cent)
-            prev_cid = np.where(reported, cids,
-                                np.where(alive, prev_cid, -1)).astype(np.int32)
-            outs.append(ClusterFlowOutput(
-                unique_count=np.int32(uniq),
-                repeated_count=np.int32(n_valid - uniq),
-                reported=reported, cid=cids, n=n_c,
-                centroid=cent, flow=flow.astype(np.float32)))
-        self.final_state = (ae_state, cum, jnp.asarray(prev_cid),
-                            jnp.asarray(prev_cent, jnp.float32))
-        return outs
+        ts_rel = (slices.t.astype(np.int64) - t0).astype(np.int32)
+        final, outs = cluster_flow_scan_exact(
+            jax.tree.map(jnp.asarray, state),
+            jnp.asarray(slices.x), jnp.asarray(slices.y),
+            jnp.asarray(ts_rel), jnp.asarray(mask), cfg)
+        self.final_state = final
+        outs = jax.device_get(outs)
+        return [ClusterFlowOutput(*[np.asarray(leaf[s]) for leaf in outs])
+                for s in range(slices.num_slices)]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -254,6 +230,48 @@ def cluster_flow_step_exact(
         state = aeclustering.update_slice(
             state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)
     return state, aeclustering.snapshot(state, cfg.cluster), new_cum
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cluster_flow_scan_exact(state, xs, ys, ts, valids,
+                            cfg: EngineConfig = DEFAULT):
+    """Exact-mode whole-sequence scan: cluster_flow_step_exact per slice plus
+    the cid-keyed per-lane flow memory carried ON DEVICE (the elementwise
+    fp32 ops are the ones the old host loop ran in numpy — bit-identical,
+    and the checkpoint/resume split stays bit-exact because the memory rides
+    the same state tuple). Returns (final_state, stacked ClusterFlowOutput).
+
+    Flow semantics (fastcluster.update_slice step 6 / accel …store.cpp:
+    500-545): a flow is reported only when the SAME cluster (same cid on the
+    lane) was reported before — the exact engine reuses lanes within a
+    slice, so occupancy alone would pair a new cluster with a dead
+    occupant's centroid (observed: ~600 px bogus arrows)."""
+    min_n = cfg.cluster.min_n
+    extrap = cfg.flow.extrapolation
+
+    def step(carry, ev):
+        ae_state, cum, prev_cid, prev_cent = carry
+        x, y, t, v = ev
+        ae_state, view, new_cum = cluster_flow_step_exact(
+            ae_state, x, y, t, v, cfg, cum)
+        uniq = new_cum - cum
+        n_valid = jnp.sum(v.astype(jnp.int32))
+        alive = view.alive
+        reported = alive & (view.n >= min_n)
+        cent = view.centroid
+        cids = view.cid
+        same = reported & (prev_cid == cids) & (prev_cid >= 0)
+        flow = jnp.where(same[:, None], (cent - prev_cent) * extrap, 0.0)
+        prev_cent = jnp.where(reported[:, None], cent, prev_cent)
+        prev_cid = jnp.where(reported, cids,
+                             jnp.where(alive, prev_cid, -1)).astype(jnp.int32)
+        out = ClusterFlowOutput(
+            unique_count=uniq, repeated_count=n_valid - uniq,
+            reported=reported, cid=cids, n=view.n,
+            centroid=cent, flow=flow.astype(jnp.float32))
+        return (ae_state, new_cum, prev_cid, prev_cent), out
+
+    return jax.lax.scan(step, state, (xs, ys, ts, valids))
 
 
 # --------------------------------------------------------------------------
