@@ -43,9 +43,12 @@ ts = jnp.asarray((sl.t - int(stream.t[0])).astype(np.int32))
 
 REF_EVS = 327_680.0   # reference nominal cadence (BASELINE.md)
 
+import sys
+MD = "--micro-dense" in sys.argv
 for q in (1, 2, 4, 8):
     cfg = dataclasses.replace(
-        cfg0, efast=dataclasses.replace(cfg0.efast, micro_slices=q))
+        cfg0, efast=dataclasses.replace(cfg0.efast, micro_slices=q,
+                                        micro_dense=MD))
     st = pipeline.init_corner_state(cfg)
     t0 = time.perf_counter()
     out = pipeline.corner_track_scan(st, xs, ys, ts, vs, cfg)

@@ -153,6 +153,14 @@ class EFastConfig:
     # reference's literal per-event volume). 8192 mirrors the reference's
     # own MAX_HASH_SIZE dedup scale (coordinate_processor.cl:30).
     max_candidates: int = 8192
+    # Micro-slice (q>1) detection backend: True routes each sub-slice through
+    # the dense band stencil. Measured a LOSS on TPU (r4): sub-slices touch
+    # nearly the SAME y-bands (every moving object emits in every sub-slice),
+    # so q sparse stencil passes cost ~q full passes — the VERDICT-r3
+    # hypothesis that bands partition across sub-slices does not hold on
+    # real scenes. The candidate-proportional ring gather (candidates DO
+    # partition across sub-slices) stays the q>1 default.
+    micro_dense: bool = False
     # The built target indexes .at(y+c[i][0], x+c[i][1]) (group_track.cpp:968),
     # while fast_corner.cpp:944-1064 detects per EVENT against the evolving
     # surface; the slice-sync step detects once per slice against the full

@@ -417,28 +417,45 @@ def corner_track_step(
         nsub = x.shape[0] // q
         m_sub = max(m // q, 64)
 
+        if cfg.efast.micro_dense:
+            # opt-in (r4, measured loss — see EFastConfig.micro_dense):
+            # per-sub-slice band-predicated dense stencil
+            def sub(sae, ev):
+                sx, sy, st_, sv = ev
+                sae = sae_ops.update_sae(sae, sx, sy, st_, sv)
+                scx, scy, scv, sdrop = _representative_candidates(
+                    sae, sx, sy, st_, sv, m_sub, cfg)
+                mask = efast.detect_corners_dense(sae, sy, sv, scx, scy,
+                                                  scv, cfg.efast, cfg.sensor)
+                return sae, (scx, scy, mask, sdrop)
+
+            new_sae, (cxs, cys, masks, drops) = jax.lax.scan(
+                sub, state.sae,
+                (x.reshape(q, nsub), y.reshape(q, nsub),
+                 t.reshape(q, nsub), valid.reshape(q, nsub)))
+            corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
+            return _corners_to_tracks(corner_mask, cxs.reshape(-1),
+                                      cys.reshape(-1), state, new_sae, cfg,
+                                      n_dropped=jnp.sum(drops))
+
+        # default q>1 path (r4): the scan only scatters and compacts —
+        # surface snapshots stack up and ALL sub-slices' candidates detect
+        # in ONE batched call (efast.detect_corners_stacked). The per-sub
+        # streak-test chains (~100 ops each, candidate-count-independent)
+        # were most of the micro-slice overhead; candidates total the same.
         def sub(sae, ev):
             sx, sy, st_, sv = ev
             sae = sae_ops.update_sae(sae, sx, sy, st_, sv)
             scx, scy, scv, sdrop = _representative_candidates(
                 sae, sx, sy, st_, sv, m_sub, cfg)
-            if cfg.efast.dense_detect:
-                # r4 (VERDICT item 2): per-sub-slice band predication makes
-                # the dense Pallas stencil the q>1 winner too — each
-                # sub-slice touches ~1/q of the y-bands, so q sparse stencil
-                # passes cost about one full pass, vs q candidate-
-                # proportional ring gathers. Bit-identical either way.
-                mask = efast.detect_corners_dense(sae, sy, sv, scx, scy,
-                                                  scv, cfg.efast, cfg.sensor)
-            else:
-                mask = efast.detect_corners(sae, scx, scy, scv,
-                                            cfg.efast, cfg.sensor)
-            return sae, (scx, scy, mask, sdrop)
+            return sae, (sae, scx, scy, scv, sdrop)
 
-        new_sae, (cxs, cys, masks, drops) = jax.lax.scan(
+        new_sae, (saes, cxs, cys, cvs, drops) = jax.lax.scan(
             sub, state.sae,
             (x.reshape(q, nsub), y.reshape(q, nsub),
              t.reshape(q, nsub), valid.reshape(q, nsub)))
+        masks = efast.detect_corners_stacked(saes, cxs, cys, cvs,
+                                             cfg.efast, cfg.sensor)
         corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
         return _corners_to_tracks(corner_mask, cxs.reshape(-1),
                                   cys.reshape(-1), state, new_sae, cfg,

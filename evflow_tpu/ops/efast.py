@@ -425,6 +425,42 @@ def detect_corners_dense(sae, ev_y, ev_valid, x, y, valid,
     return mask[y, x] & valid
 
 
+def detect_corners_stacked(saes: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                           valid: jnp.ndarray,
+                           cfg: EFastConfig = EFastConfig(),
+                           sensor: SensorConfig = SensorConfig()) -> jnp.ndarray:
+    """Batched eFAST over Q surface snapshots at once (r4).
+
+    saes: (Q, H, W) — snapshot q is the SAE after sub-slice q's scatter;
+    x/y/valid: (Q, M) — sub-slice q's candidates, detected against snapshot
+    q. One gather + ONE streak-test chain for all Q·M candidates instead of
+    Q sequential detect_corners calls: the streak reductions are ~100 XLA
+    ops regardless of candidate count, so at micro_slices=8 the per-sub
+    chains dominated the micro-slice mode's cost (measured; the candidates
+    themselves total the same). Implementation: view the stack as one tall
+    (Q·H, W) image and offset each candidate's y by q·H — ring reach (4 px)
+    never crosses snapshot boundaries because candidates within `border` of
+    an edge are rejected first. Bit-identical to per-sub detect_corners
+    (tests/test_ops.py)."""
+    q, h, w = saes.shape
+    cs = cfg.border
+    in_bounds = (x >= cs) & (x < sensor.width - cs) & (y >= cs) \
+        & (y < sensor.height - cs)
+    cand = valid & in_bounds
+    off = (np.arange(q, dtype=np.int32) * h)[:, None]
+    tall = saes.reshape(q * h, w)
+    xf = x.reshape(-1)
+    yf = (y + off).reshape(-1)
+    rings = _gather_rings_block(tall, xf, yf,
+                                np.concatenate([CIRCLE3, CIRCLE4]),
+                                cfg.group_track_axis_order)
+    found3 = _streak_any(rings[:, :len(CIRCLE3)], cfg.streak3_min,
+                         cfg.streak3_max)
+    found4 = _streak_any(rings[:, len(CIRCLE3):], cfg.streak4_min,
+                         cfg.streak4_max)
+    return cand & (found3 & found4).reshape(q, -1)
+
+
 def detect_corners(
     sae: jnp.ndarray,
     x: jnp.ndarray,

@@ -393,3 +393,50 @@ def test_dense_detect_matches_gather():
         saej, jnp.ones((H // efast._pick_band(H),), bool), cfg, sensor,
         band=efast._pick_band(H), interpret=True))
     np.testing.assert_array_equal(full, sp)
+
+
+def test_detect_corners_stacked_equals_per_sub():
+    """r4: detect_corners_stacked over Q snapshots == Q detect_corners calls
+    bit-for-bit (the micro-slice batched-detection path's contract)."""
+    import jax.numpy as jnp
+    from evflow_tpu.config import EFastConfig, SensorConfig
+    from evflow_tpu.ops import efast, sae as sae_ops
+
+    rng = np.random.default_rng(9)
+    sensor = SensorConfig(width=160, height=96)
+    cfg = EFastConfig()
+    q, m = 4, 64
+    sae = jnp.zeros((sensor.height, sensor.width), jnp.int32)
+    saes, xs, ys, vs = [], [], [], []
+    t0 = 100
+    for k in range(q):
+        n = 500
+        # moving filled wedge (apex = persistent corner) + noise
+        cx = 40 + 6 * k
+        x = rng.integers(max(0, cx - 30), cx + 1, n).astype(np.int32)
+        y = rng.integers(10, 41, n).astype(np.int32)
+        nz = rng.random(n) < 0.2
+        x[nz] = rng.integers(0, sensor.width, nz.sum())
+        y[nz] = rng.integers(0, sensor.height, nz.sum())
+        t = (t0 + np.sort(rng.integers(0, 90, n))).astype(np.int32)
+        sae = sae_ops.update_sae(sae, jnp.asarray(x), jnp.asarray(y),
+                                 jnp.asarray(t), jnp.ones(n, bool))
+        saes.append(sae)
+        ccx = rng.integers(0, sensor.width, m).astype(np.int32)
+        ccy = rng.integers(0, sensor.height, m).astype(np.int32)
+        # half the candidates probe the wedge apex/edges (real corners)
+        ccx[: m // 2] = np.clip(cx + rng.integers(-2, 3, m // 2), 0,
+                                sensor.width - 1)
+        ccy[: m // 2] = np.clip(40 + rng.integers(-2, 3, m // 2), 0,
+                                sensor.height - 1)
+        cv = rng.random(m) < 0.9
+        xs.append(ccx); ys.append(ccy); vs.append(cv)
+        t0 += 100
+    ref = np.stack([np.asarray(efast.detect_corners(
+        saes[k], jnp.asarray(xs[k]), jnp.asarray(ys[k]), jnp.asarray(vs[k]),
+        cfg, sensor)) for k in range(q)])
+    got = np.asarray(efast.detect_corners_stacked(
+        jnp.stack(saes), jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
+        jnp.asarray(np.stack(vs)), cfg, sensor))
+    np.testing.assert_array_equal(ref, got)
+    assert ref.any()   # the scene must actually produce corners
