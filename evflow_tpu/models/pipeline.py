@@ -438,24 +438,30 @@ def corner_track_step(
                                       cys.reshape(-1), state, new_sae, cfg,
                                       n_dropped=jnp.sum(drops))
 
-        # default q>1 path (r4): the scan only scatters and compacts —
-        # surface snapshots stack up and ALL sub-slices' candidates detect
-        # in ONE batched call (efast.detect_corners_stacked). The per-sub
-        # streak-test chains (~100 ops each, candidate-count-independent)
-        # were most of the micro-slice overhead; candidates total the same.
+        # default q>1 path: per-sub ring-gather detection inside the scan.
+        # Two r4 alternatives MEASURED SLOWER at q=8 on TPU (1): per-sub
+        # band-predicated dense stencil 3.68 ms/slice — sub-slices touch
+        # nearly the SAME bands, so q sparse passes cost ~q full passes;
+        # (2) snapshot-stacked single batched detection
+        # (efast.detect_corners_stacked, bit-identical, kept with its test)
+        # 3.83 ms — materializing q SAE snapshots through the scan costs
+        # more than the saved per-sub streak chains. This path: 3.17 ms.
+        # The q-scaling cost is the SERIAL sub-scatter dependency chain —
+        # irreducible without changing the fidelity semantics
+        # (benchmarks/corner_fidelity.py r4 A/B).
         def sub(sae, ev):
             sx, sy, st_, sv = ev
             sae = sae_ops.update_sae(sae, sx, sy, st_, sv)
             scx, scy, scv, sdrop = _representative_candidates(
                 sae, sx, sy, st_, sv, m_sub, cfg)
-            return sae, (sae, scx, scy, scv, sdrop)
+            mask = efast.detect_corners(sae, scx, scy, scv,
+                                        cfg.efast, cfg.sensor)
+            return sae, (scx, scy, mask, sdrop)
 
-        new_sae, (saes, cxs, cys, cvs, drops) = jax.lax.scan(
+        new_sae, (cxs, cys, masks, drops) = jax.lax.scan(
             sub, state.sae,
             (x.reshape(q, nsub), y.reshape(q, nsub),
              t.reshape(q, nsub), valid.reshape(q, nsub)))
-        masks = efast.detect_corners_stacked(saes, cxs, cys, cvs,
-                                             cfg.efast, cfg.sensor)
         corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
         return _corners_to_tracks(corner_mask, cxs.reshape(-1),
                                   cys.reshape(-1), state, new_sae, cfg,

@@ -435,9 +435,13 @@ def detect_corners_stacked(saes: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x/y/valid: (Q, M) — sub-slice q's candidates, detected against snapshot
     q. One gather + ONE streak-test chain for all Q·M candidates instead of
     Q sequential detect_corners calls: the streak reductions are ~100 XLA
-    ops regardless of candidate count, so at micro_slices=8 the per-sub
-    chains dominated the micro-slice mode's cost (measured; the candidates
-    themselves total the same). Implementation: view the stack as one tall
+    ops regardless of candidate count. NEGATIVE RESULT (r4, kept documented):
+    wired into the micro-slice pipeline this measured 3.83 ms/slice at q=8
+    vs 3.17 for per-sub detection — materializing the q snapshots through
+    the scan outweighs the saved streak chains; the pipeline keeps the
+    per-sub path and this op remains available (bit-identical, tested) for
+    callers that already hold stacked surfaces. Implementation: view the
+    stack as one tall
     (Q·H, W) image and offset each candidate's y by q·H — ring reach (4 px)
     never crosses snapshot boundaries because candidates within `border` of
     an edge are rejected first. Bit-identical to per-sub detect_corners
