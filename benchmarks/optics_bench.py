@@ -128,7 +128,10 @@ def main():
         best = min(dev, grid_t) if grid_t else dev
         speedup = f"  ({ref/best:.0f}x vs reference kd-tree)" if ref else ""
         gtxt = f" grid={grid_t*1e3:.2f} ms" if grid_t else ""
-        print(f"d={dim} n={n} min_pts={mp}: dense={dev*1e3:.2f} ms{gtxt}"
+        print(f"d={dim} n={n} min_pts={mp}: dense={dev*1e3:.2f} ms "
+              f"(approx_max_k selection, ~0.95 recall — r4: exact top_k "
+              f"selection on these widths measures ~8.5 s; "
+              f"prof_optics_dense2.py){gtxt}"
               f"{speedup}", flush=True)
         rows.append((dim, n, 1000.0, mp, best))
     for dim, n, mp in grid:

@@ -129,6 +129,56 @@ def two_stage(pts_pad, pts, eps, nblocks, k, min_pts):
     return idx[:n], dist[:n], cnt[:n], core[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("nblocks", "k", "min_pts"))
+def two_stage_approx(pts_pad, pts, eps, nblocks, k, min_pts):
+    """Variant E: selection via approx_max_k on the masked bf16 panel (the
+    TPU-native partial sort — O(W) per row, not O(W·k) like top_k), with an
+    exact per-row completeness check: `missed` counts rows where approx
+    returned fewer finite survivors than the gate's exact count (capped at
+    k). missed == 0 certifies the neighbor sets equal the exact gate's."""
+    c = jnp.mean(pts, axis=0)
+    pts_c = pts - c
+    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+    n = pts.shape[0]
+
+    def body(i, acc):
+        ia, da, ca, ma = acc
+        rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * BLOCK, BLOCK, 0) - c
+        r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+        cross = jnp.dot(rows.astype(jnp.bfloat16), pts_c.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        d2b = r2 + q2 - 2.0 * cross
+        err = jnp.float32(2.0 ** -5) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
+        keep = d2b <= eps * eps + err
+        cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
+        masked = jnp.where(keep, d2b, jnp.inf)
+        neg, idx = jax.lax.approx_max_k(-masked, k)
+        got = jnp.sum(jnp.isfinite(-neg), axis=1).astype(jnp.int32)
+        miss = jnp.sum(got < jnp.minimum(cnt, k)).astype(jnp.int32)
+        cand = pts_c[idx]
+        d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
+        d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
+        dx = jnp.sqrt(d2x)
+        dx = jnp.where(dx <= eps, dx, jnp.inf)
+        order = jnp.argsort(dx, axis=1)
+        dx = jnp.take_along_axis(dx, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        idx = jnp.where(jnp.isfinite(dx), idx, -1)
+        return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * BLOCK, 0),
+                jax.lax.dynamic_update_slice_in_dim(da, dx, i * BLOCK, 0),
+                jax.lax.dynamic_update_slice_in_dim(ca, cnt, i * BLOCK, 0),
+                ma + miss)
+
+    init = (jnp.zeros((nblocks * BLOCK, k), jnp.int32),
+            jnp.full((nblocks * BLOCK, k), jnp.inf, jnp.float32),
+            jnp.zeros((nblocks * BLOCK,), jnp.int32),
+            jnp.int32(0))
+    idx, dist, cnt, missed = jax.lax.fori_loop(0, nblocks, body, init)
+    core = jnp.where(cnt >= min_pts, dist[:, min_pts - 1], jnp.inf)
+    return idx[:n], dist[:n], cnt[:n], core[:n], missed
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     n = 100_000
@@ -142,15 +192,24 @@ def main():
                           constant_values=jnp.inf)
         print(f"-- d={d} n={n} eps={eps:.2f} scale={np.abs(pts_np).max():.0f} --",
               flush=True)
-        timed(lambda: optics.compute_neighbors(pts_np, eps, min_pts, 256),
-              label=f"A dense current (HIGHEST + top_k256)")
-        timed(lambda: panel_highest(pts_pad, pts, jnp.float32(eps), nblocks),
-              label=f"B HIGHEST panel + count only")
-        timed(lambda: panel_bf16(pts_pad, pts, jnp.float32(eps), nblocks),
-              label=f"C bf16 centered panel + count only")
-        o = timed(lambda: two_stage(pts_pad, pts, jnp.float32(eps), nblocks,
-                                    256, min_pts),
-                  label=f"D two-stage bf16 + exact refine k'=256")
+        if "--approx-only" not in sys.argv:
+            timed(lambda: optics.compute_neighbors(pts_np, eps, min_pts, 256),
+                  label=f"A dense current (HIGHEST + top_k256)")
+            timed(lambda: panel_highest(pts_pad, pts, jnp.float32(eps), nblocks),
+                  label=f"B HIGHEST panel + count only")
+            timed(lambda: panel_bf16(pts_pad, pts, jnp.float32(eps), nblocks),
+                  label=f"C bf16 centered panel + count only")
+            o = timed(lambda: two_stage(pts_pad, pts, jnp.float32(eps), nblocks,
+                                        256, min_pts),
+                      label=f"D two-stage bf16 + exact refine k'=256")
+        for k in (64, 256):
+            oe = timed(lambda k=k: two_stage_approx(
+                pts_pad, pts, jnp.float32(eps), nblocks, k, min_pts),
+                label=f"E bf16 + approx_max_k({k}) + exact refine")
+            print(f"   E k={k}: rows with approx-missed survivors: "
+                  f"{int(oe[4])}", flush=True)
+        if "--approx-only" in sys.argv:
+            continue
         # correctness vs A
         ref = optics.compute_neighbors(pts_np, eps, min_pts, 256)
         ia, da, ca, ka = jax.device_get((ref.idx, ref.dist, ref.count,

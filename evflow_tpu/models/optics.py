@@ -118,9 +118,9 @@ def _compute_neighbors_jit(pts_pad, pts, eps, k, block, nblocks, min_pts, approx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
-                                             "min_pts"))
+                                             "min_pts", "approx"))
 def _compute_neighbors_2stage_jit(pts_pad, pts, eps, k, block, nblocks,
-                                  min_pts):
+                                  min_pts, approx=False):
     """Two-stage dense panel (r4, VERDICT item 3): a CENTERED one-pass bf16
     MXU panel culls at an error-inflated radius, then only the selected
     candidates get exact difference-form fp32 distances.
@@ -161,7 +161,10 @@ def _compute_neighbors_2stage_jit(pts_pad, pts, eps, k, block, nblocks,
         keep = d2b <= eps * eps + err
         cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
         masked = jnp.where(keep, d2b, jnp.inf)
-        neg, idx = jax.lax.top_k(-masked, k)
+        if approx:
+            neg, idx = jax.lax.approx_max_k(-masked, k)
+        else:
+            neg, idx = jax.lax.top_k(-masked, k)
         cand = pts_c[idx]                              # (B, k, d)
         d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
         d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
@@ -193,10 +196,22 @@ def _compute_neighbors_2stage_jit(pts_pad, pts, eps, k, block, nblocks,
 
 def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
                              max_neighbors: int = 256,
-                             block: int = 2048) -> NeighborTable:
+                             block: int = 2048,
+                             approx: bool = False) -> NeighborTable:
     """Dense ε-neighborhoods via the bf16-prefilter two-stage panel (see
     _compute_neighbors_2stage_jit). Same output contract as
-    compute_neighbors."""
+    compute_neighbors.
+
+    r4 MEASUREMENT NOTE (benchmarks/prof_optics_dense2.py, n=100k): the
+    distance PANEL was never the dense path's wall — HIGHEST 123 ms, this
+    bf16 two-stage 43 ms — the per-row SELECTION is: exact top_k(256) on
+    (2048, 100k) rows costs ~8.5 s and approx_max_k(64) ~250 ms on this
+    backend, so r3's published dense d>=4 results (290-306 ms) were in fact
+    approx-recall numbers (optics_bench passed approx=True). approx=True
+    here keeps that speed while upgrading the selected candidates to exact
+    diff-form distances; approx=False is exact-by-construction and slow at
+    large N·width. High-dimensional EXACT selection is a measured primitive
+    boundary (sort/top_k/scatter rates), not a distance-compute problem."""
     pts = jnp.asarray(points, jnp.float32)
     n = pts.shape[0]
     k = min(max_neighbors, n)
@@ -204,7 +219,7 @@ def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
     pad = nblocks * block - n
     pts_pad = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=jnp.inf)
     idx, dist, cnt, core = _compute_neighbors_2stage_jit(
-        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts)
+        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts, approx)
     return NeighborTable(idx, dist, cnt, core)
 
 
