@@ -46,6 +46,8 @@ def _load():
             lib.evio_load_csv.restype = ctypes.c_int64
             lib.evio_analyze_coordinates.restype = ctypes.c_int64
             lib.evio_decode_evt3.restype = ctypes.c_int64
+            lib.evio_decode_evt2.restype = ctypes.c_int64
+            lib.evio_decode_evt21.restype = ctypes.c_int64
             _lib = lib
         except OSError:
             _lib = None
@@ -105,6 +107,54 @@ def decode_evt3(payload: bytes, capacity: int | None = None):
         ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(capacity))
+    return xs[:n].copy(), ys[:n].copy(), ts[:n].copy(), ps[:n].copy()
+
+
+def decode_evt2(payload: bytes):
+    """Native EVT2 payload decode → (x, y, t, p) arrays, or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = payload[:len(payload) - len(payload) % 4]
+    w = np.frombuffer(payload, dtype="<u4")
+    capacity = int(np.sum((w >> 28) <= 1))
+    xs = np.empty(capacity, np.int32)
+    ys = np.empty(capacity, np.int32)
+    ts = np.empty(capacity, np.int64)
+    ps = np.empty(capacity, np.int32)
+    n = lib.evio_decode_evt2(
+        payload, ctypes.c_int64(len(payload)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(capacity))
+    return xs[:n].copy(), ys[:n].copy(), ts[:n].copy(), ps[:n].copy()
+
+
+def decode_evt21(payload: bytes, swapped_halves: bool = False):
+    """Native EVT2.1 payload decode → (x, y, t, p), or None on fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = payload[:len(payload) - len(payload) % 8]
+    w = np.frombuffer(payload, dtype="<u8")
+    if swapped_halves:
+        w = (w << np.uint64(32)) | (w >> np.uint64(32))
+    cd = w[(w >> np.uint64(60)) <= 1]
+    capacity = int(np.sum(np.unpackbits(
+        (cd & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.uint8))))
+    xs = np.empty(max(capacity, 1), np.int32)
+    ys = np.empty(max(capacity, 1), np.int32)
+    ts = np.empty(max(capacity, 1), np.int64)
+    ps = np.empty(max(capacity, 1), np.int32)
+    n = lib.evio_decode_evt21(
+        payload, ctypes.c_int64(len(payload)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(capacity), ctypes.c_int32(int(swapped_halves)))
     return xs[:n].copy(), ys[:n].copy(), ts[:n].copy(), ps[:n].copy()
 
 

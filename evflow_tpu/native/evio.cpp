@@ -166,6 +166,86 @@ int64_t evio_decode_evt3(const uint8_t* data, int64_t nbytes, int32_t* xs,
 }
 
 // ---------------------------------------------------------------------------
+// EVT2 decoder — 32-bit little-endian words (OpenEB evt2_raw_format.h):
+// type in bits 31:28 — 0x0 CD_OFF / 0x1 CD_ON carry t[5:0] in bits 27:22,
+// x in 21:11, y in 10:0 (polarity = type); 0x8 TIME_HIGH carries t[33:6] in
+// bits 27:0 (a wrap adds a 2^34 µs epoch). Mirrors io/evt2.py's vectorized
+// numpy decoder (cross-checked in tests/test_io.py).
+// ---------------------------------------------------------------------------
+int64_t evio_decode_evt2(const uint8_t* data, int64_t nbytes, int32_t* xs,
+                         int32_t* ys, int64_t* ts, int32_t* ps,
+                         int64_t capacity) {
+  const uint32_t* w = reinterpret_cast<const uint32_t*>(data);
+  int64_t nwords = nbytes / 4;
+  int64_t n = 0;
+  int64_t t_high = 0, epoch = 0, last_high = -1;
+  for (int64_t i = 0; i < nwords; i++) {
+    uint32_t v = w[i];
+    uint32_t typ = v >> 28;
+    if (typ <= 0x1) {
+      if (n < capacity) {
+        xs[n] = (v >> 11) & 0x7FF;
+        ys[n] = v & 0x7FF;
+        ps[n] = (int32_t)typ;
+        ts[n] = epoch + (t_high << 6) + ((v >> 22) & 0x3F);
+        n++;
+      }
+    } else if (typ == 0x8) {
+      int64_t th = v & 0x0FFFFFFF;
+      if (last_high >= 0 && th < last_high) epoch += (int64_t)1 << 34;
+      last_high = th;
+      t_high = th;
+    }  // EXT_TRIGGER / OTHERS / CONTINUED: no CD events
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// EVT2.1 decoder — 64-bit little-endian words (OpenEB evt21_raw_format.h):
+// type in bits 63:60 — 0x0 EVT_NEG / 0x1 EVT_POS are VECTOR events: t[5:0]
+// in 59:54, x base in 53:43, y in 42:32, 32-bit validity mask in 31:0 (bit
+// i => event at x+i); 0x8 TIME_HIGH carries t[33:6] in bits 59:32.
+// swapped_halves != 0 reads the legacy layout (each 64-bit word stored with
+// its high 32-bit half first); detection lives in Python (io/evt2.py).
+// ---------------------------------------------------------------------------
+int64_t evio_decode_evt21(const uint8_t* data, int64_t nbytes, int32_t* xs,
+                          int32_t* ys, int64_t* ts, int32_t* ps,
+                          int64_t capacity, int32_t swapped_halves) {
+  const uint64_t* w = reinterpret_cast<const uint64_t*>(data);
+  int64_t nwords = nbytes / 8;
+  int64_t n = 0;
+  int64_t t_high = 0, epoch = 0, last_high = -1;
+  for (int64_t i = 0; i < nwords; i++) {
+    uint64_t v = w[i];
+    if (swapped_halves) v = (v << 32) | (v >> 32);
+    uint32_t typ = (uint32_t)(v >> 60);
+    if (typ <= 0x1) {
+      int32_t xb = (int32_t)((v >> 43) & 0x7FF);
+      int32_t y = (int32_t)((v >> 32) & 0x7FF);
+      int64_t t = epoch + (t_high << 6) + (int64_t)((v >> 54) & 0x3F);
+      uint32_t mask = (uint32_t)(v & 0xFFFFFFFFu);
+      while (mask) {
+        int b = __builtin_ctz(mask);
+        mask &= mask - 1;
+        if (n < capacity) {
+          xs[n] = xb + b;
+          ys[n] = y;
+          ps[n] = (int32_t)typ;
+          ts[n] = t;
+          n++;
+        }
+      }
+    } else if (typ == 0x8) {
+      int64_t th = (int64_t)((v >> 32) & 0x0FFFFFFF);
+      if (last_high >= 0 && th < last_high) epoch += (int64_t)1 << 34;
+      last_high = th;
+      t_high = th;
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // Ring-buffer batcher: interleaves x,y into a fixed int ring with wraparound,
 // replicating aggregate_events_fct (accel …store.cpp:587-599) for parity
 // tests of the compat path.

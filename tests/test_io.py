@@ -368,3 +368,31 @@ def test_evt21_spec_word_vector():
     # and the auto-detector must classify this payload as NOT swapped
     w = np.frombuffer(payload, dtype="<u8")
     assert evt2._detect_swapped(w) is False
+
+
+def test_evt2_native_matches_numpy(tmp_path):
+    from evflow_tpu.io import evt2
+    from evflow_tpu import native
+    from evflow_tpu.io.evt3 import split_header
+    s = _blob_stream(n=3000)
+    for fmt, save in (("evt2", evt2.save_evt2), ("evt21", evt2.save_evt21)):
+        path = str(tmp_path / f"n_{fmt}.raw")
+        save(s, path)
+        blob = open(path, "rb").read()
+        _, off = split_header(blob)
+        payload = blob[off:]
+        dec = (native.decode_evt2 if fmt == "evt2" else native.decode_evt21)
+        nat = dec(payload)
+        if nat is None:
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        ref = (evt2.decode_evt2_numpy(payload) if fmt == "evt2"
+               else evt2.decode_evt21_numpy(payload, swapped_halves=False))
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
+    # legacy half-swapped EVT2.1 through the native path
+    path = str(tmp_path / "n_legacy.raw")
+    evt2.save_evt21(s, path, swapped_halves=True)
+    r = evt2.load_evt2(path)          # load path: detect + native decode
+    np.testing.assert_array_equal(r.x, s.x)
+    np.testing.assert_array_equal(r.t, s.t)
