@@ -394,6 +394,76 @@ def corner_mask_dense_pallas_sparse(sae: jnp.ndarray, active: jnp.ndarray,
     return (mask != 0) & in_b
 
 
+def corner_mask_dense_pallas_sparse2(sae: jnp.ndarray, active: jnp.ndarray,
+                                     cfg: EFastConfig = EFastConfig(),
+                                     sensor: SensorConfig = SensorConfig(),
+                                     band: int = 24, wtile: int = 128,
+                                     interpret: bool = False) -> jnp.ndarray:
+    """2-D-tile-predicated dense stencil (r4): corner_mask_dense_pallas with
+    the grid over (y-band × x-tile) and per-TILE predication instead of
+    whole rows — event slices touch a minority of x-tiles within each active
+    band (a blob spans ~1-2 of 10 column tiles), so the 1-D band predication
+    still paid for the full 1280-px width per active band. active:
+    (H//band, W//wtile) bool.
+
+    Halo handling without dynamic lane slicing (Mosaic-hostile): the padded
+    SAE is pre-gathered XLA-side into overlapping (band+8, wtile+8) windows
+    — two cheap row/column takes, ~5 MB — which BlockSpec then tiles
+    exactly; the kernel reads its window, computes the same 36-plane streak
+    masks, and writes its (band, wtile) mask block (zeros when inactive).
+    Detection only consults the mask at touched pixels, whose tiles are
+    active by construction, so results are bit-identical to the full mask.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = sae.shape
+    assert h % band == 0 and w % wtile == 0, (h, w, band, wtile)
+    nb, nwt = h // band, w // wtile
+    pad = jnp.pad(sae, ((4, 4), (4, 4)))
+    rows = (jnp.arange(nb)[:, None] * band
+            + jnp.arange(band + 8)[None, :]).reshape(-1)
+    cols = (jnp.arange(nwt)[:, None] * wtile
+            + jnp.arange(wtile + 8)[None, :]).reshape(-1)
+    win = jnp.take(jnp.take(pad, rows, axis=0), cols, axis=1) \
+        .reshape(nb, band + 8, nwt, wtile + 8)
+    act = active.astype(jnp.int32)
+
+    def kernel(act_ref, win_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(act_ref[i, j] != 0)
+        def _():
+            slab = win_ref[0, :, 0, :]
+            out_ref[0, :, 0, :] = _band_mask(slab, band, wtile,
+                                             cfg).astype(jnp.int32)
+
+        @pl.when(act_ref[i, j] == 0)
+        def _():
+            out_ref[0, :, 0, :] = jnp.zeros((band, wtile), jnp.int32)
+
+    mask = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, band, nwt, wtile), jnp.int32),
+        grid=(nb, nwt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, band + 8, 1, wtile + 8),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, band, 1, wtile), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(act, win)
+    mask = mask.reshape(h, w)    # (i, r, j, c) -> rows (i*band+r), cols (j*wtile+c)
+    cs = cfg.border
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    in_b = (xx >= cs) & (xx < sensor.width - cs) & (yy >= cs) \
+        & (yy < sensor.height - cs)
+    return (mask != 0) & in_b
+
+
 def _pick_band(h: int) -> int:
     """Largest divisor of h in the measured-good band range (VMEM-bounded
     above ~24 at W=1280; Mosaic failed at 40)."""
@@ -405,12 +475,18 @@ def _pick_band(h: int) -> int:
 
 def detect_corners_dense(sae, ev_y, ev_valid, x, y, valid,
                          cfg: EFastConfig = EFastConfig(),
-                         sensor: SensorConfig = SensorConfig()) -> jnp.ndarray:
-    """Dense-backend detection: build the per-band corner mask once from the
-    slice's touched y-bands (ev_y/ev_valid — ALL events, so every band a
+                         sensor: SensorConfig = SensorConfig(),
+                         ev_x=None) -> jnp.ndarray:
+    """Dense-backend detection: build the per-tile corner mask once from the
+    slice's touched tiles (ev_x/ev_y/ev_valid — ALL events, so every tile a
     candidate can live in is active), then look candidates up. Returns the
     (N,) corner mask for (x, y, valid) candidates — bit-identical to
-    detect_corners (tests/test_ops.py)."""
+    detect_corners (tests/test_ops.py).
+
+    r4: when ev_x is given and W divides into 128-px tiles, predication is
+    2-D (y-band × x-tile, corner_mask_dense_pallas_sparse2) — a blob spans
+    ~1-2 of 10 column tiles, so the 1-D row predication overcomputed the
+    stencil ~4-5x on typical scenes. Without ev_x: 1-D band predication."""
     h, w = sae.shape
     band = _pick_band(h)
     if band == 0:
@@ -419,7 +495,16 @@ def detect_corners_dense(sae, ev_y, ev_valid, x, y, valid,
     act = jnp.zeros((nb,), bool).at[
         jnp.clip(ev_y // band, 0, nb - 1)].max(ev_valid, mode="drop")
     if jax.default_backend() != "cpu":   # TPU (this rig's remote platform)
-        mask = corner_mask_dense_pallas_sparse(sae, act, cfg, sensor, band)
+        if ev_x is not None and w % 128 == 0:
+            nwt = w // 128
+            act2 = jnp.zeros((nb, nwt), bool).at[
+                jnp.clip(ev_y // band, 0, nb - 1),
+                jnp.clip(ev_x // 128, 0, nwt - 1)].max(ev_valid, mode="drop")
+            mask = corner_mask_dense_pallas_sparse2(sae, act2, cfg, sensor,
+                                                    band, 128)
+        else:
+            mask = corner_mask_dense_pallas_sparse(sae, act, cfg, sensor,
+                                                   band)
     else:                                # tests: same results via banded XLA
         mask = corner_mask_dense_banded(sae, cfg, sensor, band)
     return mask[y, x] & valid

@@ -393,6 +393,20 @@ def test_dense_detect_matches_gather():
         saej, jnp.ones((H // efast._pick_band(H),), bool), cfg, sensor,
         band=efast._pick_band(H), interpret=True))
     np.testing.assert_array_equal(full, sp)
+    # r4 2-D-tile-predicated kernel: all-active == full mask; and with the
+    # true touched-tile mask, equal at every touched pixel
+    band = efast._pick_band(H)
+    sp2 = np.asarray(efast.corner_mask_dense_pallas_sparse2(
+        saej, jnp.ones((H // band, W // 128), bool), cfg, sensor,
+        band=band, wtile=128, interpret=True))
+    np.testing.assert_array_equal(full, sp2)
+    act2 = np.zeros((H // band, W // 128), bool)
+    act2[np.clip(y[v] // band, 0, H // band - 1),
+         np.clip(x[v] // 128, 0, W // 128 - 1)] = True
+    sp2p = np.asarray(efast.corner_mask_dense_pallas_sparse2(
+        saej, jnp.asarray(act2), cfg, sensor, band=band, wtile=128,
+        interpret=True))
+    np.testing.assert_array_equal(full[y[v], x[v]], sp2p[y[v], x[v]])
 
 
 def test_detect_corners_stacked_equals_per_sub():
