@@ -31,13 +31,41 @@ def _drain(out):
     np.asarray(leaf.ravel()[:1])
 
 
-def bench(name, make_scan):
+# r4b METHODOLOGY FIX: the old per-rep drain added a FIXED ~23.5 ms
+# relay round-trip to every measurement — which, divided by 32 slices,
+# produced the phantom "~0.75 ms/step scan floor" in the r3/r4 notes (a
+# 1-op scan step, a 256-step scan, and 20 chained dispatches all measure
+# the same ~23-26 ms total; /tmp probes, r4b). Chain CHAIN dispatches per
+# drain and subtract the measured null-scan floor so rows report true
+# per-slice device compute.
+CHAIN = 8
+_floor_ms = [0.0]
+
+
+def bench(name, make_scan, chain=CHAIN):
     f = jax.jit(make_scan)
     t0 = time.perf_counter(); _drain(f()); cmp = time.perf_counter()-t0
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); _drain(f()); best = min(best, time.perf_counter()-t0)
-    print(f"{name:20s} compile {cmp:7.1f}s  total {best*1e3:8.2f} ms  per-slice {best/n_slices*1e3:7.3f} ms", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out = f()
+        _drain(out)
+        best = min(best, time.perf_counter()-t0)
+    total_ms = best * 1e3
+    net = (total_ms - _floor_ms[0]) / (chain * n_slices)
+    print(f"{name:20s} compile {cmp:7.1f}s  chain{chain} {total_ms:8.2f} ms"
+          f"  per-slice {net:7.3f} ms", flush=True)
+    return total_ms
+
+
+def calibrate_floor():
+    def mk_null():
+        def step(c, x):
+            return c + x[0], None
+        return jax.lax.scan(step, jnp.int32(0), xs)
+    _floor_ms[0] = bench("null(floor)", mk_null)
+calibrate_floor()
 
 
 # 1. dedup alone
@@ -109,11 +137,39 @@ def mk_cluster():
     return jax.lax.scan(step, fastcluster.init_state(cfg.cluster), (xs, ys, vs))
 bench("fastcluster", mk_cluster)
 
+# 6b. fastcluster with matmul stats (r4b: one-hot cumsum ranks + MXU
+# aggregate matmuls instead of sort + segment_sum scatters)
+import dataclasses
+cfgMM = dataclasses.replace(
+    cfg, cluster=dataclasses.replace(cfg.cluster, stats_matmul=True))
+def mk_cluster_mm():
+    def step(s, ev):
+        x, y, v = ev
+        s, out = fastcluster.update_slice(s, x, y, v, cfgMM.cluster, cfgMM.sensor)
+        return s, out.centroid
+    return jax.lax.scan(step, fastcluster.init_state(cfgMM.cluster), (xs, ys, vs))
+bench("fastclusterMM", mk_cluster_mm)
+
 # 7. full steps
 def mk_full_cluster():
     return pipeline.cluster_flow_scan(fastcluster.init_state(cfg.cluster), xs, ys, vs, cfg)
 bench("cluster_step", mk_full_cluster)
 
+def mk_full_cluster_mm():
+    return pipeline.cluster_flow_scan(fastcluster.init_state(cfgMM.cluster), xs, ys, vs, cfgMM)
+bench("cluster_stepMM", mk_full_cluster_mm)
+
 def mk_full_corner():
     return pipeline.corner_track_scan(pipeline.init_corner_state(cfg), xs, ys, ts, vs, cfg)
 bench("corner_step", mk_full_corner)
+
+# 8. the bench.py fused scan, A/B on stats_matmul
+def mk_full():
+    return pipeline.full_scan(fastcluster.init_state(cfg.cluster),
+                              pipeline.init_corner_state(cfg), xs, ys, ts, vs, cfg)
+bench("full_scan", mk_full)
+
+def mk_full_mm():
+    return pipeline.full_scan(fastcluster.init_state(cfgMM.cluster),
+                              pipeline.init_corner_state(cfgMM), xs, ys, ts, vs, cfgMM)
+bench("full_scanMM", mk_full_mm)

@@ -108,6 +108,17 @@ class ClusterConfig:
     # Used when kappa == 0 and the backend is TPU; the CPU backend keeps
     # the XLA scan (interpret-mode Pallas is slower there, results equal).
     exact_pallas: bool = True
+    # r4b: compute the fast path's per-slice EWMA ranks and cluster
+    # aggregates with one-hot panel matmuls (blocked lower-triangular cumsum
+    # on the MXU + one (C, N) @ (N, 5) aggregate matmul) instead of the
+    # (ids, lane) sort + segment_sum scatters, and the merge-phase window
+    # reductions with (C, C) root-matrix matmuls instead of 3 segment_sums.
+    # Counts and ranks stay EXACT (0/1 and integer-valued f32 operands
+    # accumulate exactly in the MXU's f32 accumulator; HIGHEST-precision
+    # operands are split exactly); coordinate sums differ from the scatter
+    # path only in fp reduction order (tests pass identically either way).
+    # Default False until the TPU A/B measurement lands (prof_inscan.py).
+    stats_matmul: bool = False
 
     @staticmethod
     def async_app() -> "ClusterConfig":

@@ -159,6 +159,78 @@ def _slice_aggregates(mu0, pts, labels, valid, c, alpha, axis: Optional[str]):
     return mu, k_c, sum_slice
 
 
+def _blocked_cumsum(onehot: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Inclusive cumsum of a 0/1 (N, C) panel along axis 0, as MXU matmuls.
+
+    Per-block prefix sums ride a lower-triangular-ones (b, b) matmul; block
+    offsets are a tiny exclusive cumsum over N/b rows. EXACT: 0/1 operands
+    multiply exactly in bf16 and the MXU accumulates in f32 (values < 2^24),
+    so this replaces the sort-based ranking bit-for-bit. A direct
+    jnp.cumsum over the (N, C) panel lowers to a serial reduce-window chain
+    on this backend; the blocked-matmul form is O(log) dispatches.
+    """
+    n, c = onehot.shape
+    if n % block:
+        block = n  # degenerate small case: one triangular matmul
+    nb = n // block
+    tri = jnp.tril(jnp.ones((block, block), jnp.float32))
+    blocks = onehot.reshape(nb, block, c)
+    incl = jnp.einsum("ij,bjc->bic", tri, blocks)
+    totals = incl[:, -1, :]                                   # (nb, C)
+    offs = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(totals, axis=0)[:-1]])
+    return (incl + offs[:, None, :]).reshape(n, c)
+
+
+def _slice_aggregates_matmul(mu0, pts, labels, valid, c, alpha,
+                             axis: Optional[str]):
+    """Sort/scatter-free twin of `_slice_aggregates` (cfg.stats_matmul).
+
+    The stream-order rank of event i within its cluster is the inclusive
+    one-hot prefix count P[i, label_i]; the EWMA exponent k-1-rank = k - P
+    is formed as a panel (no per-event gathers), and the per-cluster
+    (count, coord sum, weighted sum) aggregates ride ONE (C, N) @ (N, 5)
+    HIGHEST-precision matmul instead of a segment_sum scatter. Ranks and
+    counts are exact (integer-valued f32 through the MXU); coordinate sums
+    equal the scatter path up to fp reduction order.
+    """
+    n = pts.shape[0]
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+    onehot = (valid[:, None] & (labels[:, None] == iota_c[None, :])
+              ).astype(jnp.float32)                            # (N, C)
+    p = _blocked_cumsum(onehot)                                # (N, C)
+    k_c = p[-1]                                                # (C,) f32
+    la = jnp.log1p(-alpha)
+    if axis is None:
+        expo = k_c[None, :] - p
+    else:
+        k_all = jax.lax.all_gather(k_c, axis)                  # (T, C)
+        me = jax.lax.axis_index(axis)
+        earlier = (jnp.arange(k_all.shape[0]) < me)[:, None]
+        offset_c = jnp.sum(jnp.where(earlier, k_all, 0.0), axis=0)
+        k_glob = jnp.sum(k_all, axis=0)
+        # global rank = local rank + earlier tiles' counts; exponent
+        # k_glob - 1 - grank = (k_glob - offset_c) - P
+        expo = (k_glob - offset_c)[None, :] - p
+        k_c = k_glob
+    expo = jnp.clip(expo, 0.0, 80.0)
+    w = jnp.sum(onehot * (alpha * jnp.exp(expo * la)), axis=1)  # (N,)
+    feats = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), pts, w[:, None] * pts], axis=1)
+    sums = jax.lax.dot_general(
+        onehot, feats, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)                   # (C, 5)
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)
+    k_i = sums[:, 0].astype(jnp.int32)
+    sum_slice = sums[:, 1:3]
+    wsum = sums[:, 3:5]
+    decay = jnp.exp(jnp.clip(k_c, 0.0, 80.0) * la)
+    mu = decay[:, None] * mu0 + wsum
+    mu = jnp.where((k_i > 0)[:, None], mu, mu0)
+    return mu, k_i, sum_slice
+
+
 def _update_slice_impl(
     state: FastState,
     x: jnp.ndarray,
@@ -248,7 +320,8 @@ def _update_slice_impl(
     member = labels >= 0
 
     # ---- 3+4. EWMA means and windowed membership aggregates (one fused pass)
-    mu, cnt_slice, sum_slice = _slice_aggregates(
+    agg = _slice_aggregates_matmul if cfg.stats_matmul else _slice_aggregates
+    mu, cnt_slice, sum_slice = agg(
         mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha, axis)
     head = state.ring_head
     rc = rc.at[:, head].set(cnt_slice)
@@ -275,12 +348,34 @@ def _update_slice_impl(
     merged_into = jnp.where(alive, root_slot, jnp.arange(c, dtype=jnp.int32))
 
     wm = n_window.astype(jnp.float32)
-    mu_num = jax.ops.segment_sum(wm[:, None] * mu, merged_into, num_segments=c)
-    mu_den = jax.ops.segment_sum(wm, merged_into, num_segments=c)
+    if cfg.stats_matmul:
+        # eq IS the root-assignment matrix: row i (alive) has exactly one
+        # true column — its root slot (corder unique among alive). Dead rows
+        # are all-false and contribute nothing, matching merged_into == i
+        # followed by the is_root zeroing below. Three (C, C) matmuls
+        # (HIGHEST: exact for integer-valued f32) replace three segment_sum
+        # scatters — scatters carry heavy per-op cost on this backend.
+        eqf = eq.astype(jnp.float32)                           # (C, C)
+        hp = jax.lax.Precision.HIGHEST
+        r_ = state.ring_count.shape[1]
+        mu_num = jax.lax.dot_general(eqf, wm[:, None] * mu,
+                                     (((0,), (0,)), ((), ())), precision=hp)
+        mu_den = jax.lax.dot_general(eqf, wm[:, None],
+                                     (((0,), (0,)), ((), ())),
+                                     precision=hp)[:, 0]
+        rc = jax.lax.dot_general(eqf, rc.astype(jnp.float32),
+                                 (((0,), (0,)), ((), ())),
+                                 precision=hp).astype(jnp.int32)
+        rs = jax.lax.dot_general(eqf, rs.reshape(c, r_ * 2),
+                                 (((0,), (0,)), ((), ())),
+                                 precision=hp).reshape(c, r_, 2)
+    else:
+        mu_num = jax.ops.segment_sum(wm[:, None] * mu, merged_into, num_segments=c)
+        mu_den = jax.ops.segment_sum(wm, merged_into, num_segments=c)
+        # windows merge additively onto the root
+        rc = jax.ops.segment_sum(rc, merged_into, num_segments=c)
+        rs = jax.ops.segment_sum(rs, merged_into, num_segments=c)
     mu = jnp.where(is_root[:, None], mu_num / jnp.maximum(mu_den, 1.0)[:, None], mu)
-    # windows merge additively onto the root
-    rc = jax.ops.segment_sum(rc, merged_into, num_segments=c)
-    rs = jax.ops.segment_sum(rs, merged_into, num_segments=c)
     rc = jnp.where(is_root[:, None], rc, 0)
     rs = jnp.where(is_root[:, None, None], rs, 0.0)
     labels = jnp.where(member, merged_into[jnp.clip(labels, 0, c - 1)], labels)

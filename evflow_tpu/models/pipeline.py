@@ -329,15 +329,19 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
                                                        mode="drop")[:cap]
     cvalid = jnp.arange(cap) < jnp.minimum(n_corners, cap)
 
-    filt = nms_ops.filter_corners(cx, cy, cvalid, cfg.nms)
-    det_valid = jnp.arange(cap) < filt.count
+    # r4b: accept-mask-only NMS — the tracker takes the accepted CANDIDATE
+    # lanes directly (association/spawn/grouping depend on the mask and on
+    # stream order, both preserved), skipping the NMS output compaction
+    # (cumsum + two scatters per slice). Equivalent to the filter_corners +
+    # prefix-det form (tests/test_ate.py chains are unchanged).
+    accepted, n_filtered = nms_ops.accept_corners(cx, cy, cvalid, cfg.nms)
 
     tracks, groups = tracker_mod.update(
-        state.tracks, filt.x.astype(jnp.float32), filt.y.astype(jnp.float32),
-        det_valid, cfg.tracker)
+        state.tracks, cx.astype(jnp.float32), cy.astype(jnp.float32),
+        accepted, cfg.tracker)
 
     out = CornerTrackOutput(
-        num_corners=n_corners, num_filtered=filt.count,
+        num_corners=n_corners, num_filtered=n_filtered,
         track_active=tracks.active, track_label=tracks.label,
         track_pos=tracks.pos, track_vel=tracks.velocity,
         track_group=tracks.group_id, groups=groups,

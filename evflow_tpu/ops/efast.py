@@ -400,20 +400,21 @@ def corner_mask_dense_pallas_sparse2(sae: jnp.ndarray, active: jnp.ndarray,
                                      band: int = 24, wtile: int = 128,
                                      interpret: bool = False) -> jnp.ndarray:
     """2-D-tile-predicated dense stencil (r4): corner_mask_dense_pallas with
-    the grid over (y-band × x-tile) and per-TILE predication instead of
-    whole rows — event slices touch a minority of x-tiles within each active
-    band (a blob spans ~1-2 of 10 column tiles), so the 1-D band predication
-    still paid for the full 1280-px width per active band. active:
-    (H//band, W//wtile) bool.
+    per-(y-band × x-tile) predication instead of whole rows — event slices
+    touch a minority of x-tiles within each active band (a blob spans ~1-2
+    of 10 column tiles), so the 1-D band predication still paid for the full
+    1280-px width per active band. active: (H//band, W//wtile) bool.
 
-    Halo handling without dynamic lane slicing (Mosaic-hostile): the padded
-    SAE is pre-gathered XLA-side into overlapping (band+8, wtile+8) windows
-    — two cheap row/column takes, ~5 MB — which BlockSpec then tiles
-    exactly; the kernel reads its window, computes the same 36-plane streak
-    masks, and writes its (band, wtile) mask block (zeros when inactive).
-    Detection only consults the mask at touched pixels, whose tiles are
-    active by construction, so results are bit-identical to the full mask.
-    """
+    Column halos without pre-gathered windows (r4b): the grid stays 1-D over
+    y-bands with the whole padded SAE resident in VMEM (as the 1-D kernel);
+    the column tiles are a STATIC Python unroll inside the kernel — tile j's
+    (band+8, wtile+8) halo slab is a static column slice of the band slab
+    (dynamic lane slicing is Mosaic-hostile, static slicing is free), each
+    wrapped in its own pl.when. An earlier revision pre-gathered overlapping
+    windows XLA-side (~5 MB of takes per call), which cost about what the
+    skipped stencil work saved. Detection only consults the mask at touched
+    pixels, whose tiles are active by construction, so results are
+    bit-identical to the full mask."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -421,41 +422,33 @@ def corner_mask_dense_pallas_sparse2(sae: jnp.ndarray, active: jnp.ndarray,
     assert h % band == 0 and w % wtile == 0, (h, w, band, wtile)
     nb, nwt = h // band, w // wtile
     pad = jnp.pad(sae, ((4, 4), (4, 4)))
-    rows = (jnp.arange(nb)[:, None] * band
-            + jnp.arange(band + 8)[None, :]).reshape(-1)
-    cols = (jnp.arange(nwt)[:, None] * wtile
-            + jnp.arange(wtile + 8)[None, :]).reshape(-1)
-    win = jnp.take(jnp.take(pad, rows, axis=0), cols, axis=1) \
-        .reshape(nb, band + 8, nwt, wtile + 8)
     act = active.astype(jnp.int32)
 
-    def kernel(act_ref, win_ref, out_ref):
+    def kernel(act_ref, sae_ref, out_ref):
         i = pl.program_id(0)
-        j = pl.program_id(1)
+        slab = sae_ref[pl.ds(i * band, band + 8), :]        # (band+8, w+8)
+        for j in range(nwt):
+            @pl.when(act_ref[i, j] != 0)
+            def _(j=j):
+                tile = slab[:, j * wtile:j * wtile + wtile + 8]
+                out_ref[:, j * wtile:(j + 1) * wtile] = _band_mask(
+                    tile, band, wtile, cfg).astype(jnp.int32)
 
-        @pl.when(act_ref[i, j] != 0)
-        def _():
-            slab = win_ref[0, :, 0, :]
-            out_ref[0, :, 0, :] = _band_mask(slab, band, wtile,
-                                             cfg).astype(jnp.int32)
-
-        @pl.when(act_ref[i, j] == 0)
-        def _():
-            out_ref[0, :, 0, :] = jnp.zeros((band, wtile), jnp.int32)
+            @pl.when(act_ref[i, j] == 0)
+            def _(j=j):
+                out_ref[:, j * wtile:(j + 1) * wtile] = jnp.zeros(
+                    (band, wtile), jnp.int32)
 
     mask = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, band, nwt, wtile), jnp.int32),
-        grid=(nb, nwt),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, band + 8, 1, wtile + 8),
-                               lambda i, j: (i, 0, j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, band, 1, wtile), lambda i, j: (i, 0, j, 0),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((band, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(act, win)
-    mask = mask.reshape(h, w)    # (i, r, j, c) -> rows (i*band+r), cols (j*wtile+c)
+    )(act, pad)
     cs = cfg.border
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]

@@ -34,6 +34,51 @@ class NMSResult(NamedTuple):
     accepted: jnp.ndarray # bool (C,) per-candidate accept flag (input order)
 
 
+def accept_corners(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: NMSConfig = NMSConfig(),
+    immune_x: jnp.ndarray | None = None,
+    immune_y: jnp.ndarray | None = None,
+    immune_valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy accept mask only — `filter_corners` without the output
+    compaction. Returns (accepted bool (C,), count int32 ()). The single-
+    device pipeline feeds the tracker the accepted CANDIDATE lanes directly
+    (association/spawn/grouping are det-lane-order independent given the
+    mask, and lane order preserves stream order), skipping the cumsum + two
+    scatters per slice (r4b)."""
+    c = x.shape[0]
+    half = cfg.box_size // 2
+    xf = x.astype(jnp.int32)
+    yf = y.astype(jnp.int32)
+
+    dx = jnp.abs(xf[:, None] - xf[None, :])
+    dy = jnp.abs(yf[:, None] - yf[None, :])
+    overlap = (dx <= 2 * half) & (dy <= 2 * half)
+    earlier = jnp.arange(c)[:, None] > jnp.arange(c)[None, :]  # j < i
+    both = valid[:, None] & valid[None, :]
+    sup = overlap & earlier & both  # sup[i, j]: accepted j would suppress i
+
+    base_ok = valid
+    if immune_x is not None:
+        pdx = jnp.abs(xf[:, None] - immune_x.astype(jnp.int32)[None, :])
+        pdy = jnp.abs(yf[:, None] - immune_y.astype(jnp.int32)[None, :])
+        hit = jnp.any((pdx <= 2 * half) & (pdy <= 2 * half)
+                      & immune_valid[None, :], axis=1)
+        base_ok = valid & ~hit
+
+    def body(state):
+        acc, _ = state
+        new_acc = base_ok & ~jnp.any(sup & acc[None, :], axis=1)
+        return new_acc, jnp.any(new_acc != acc)
+
+    acc, _ = jax.lax.while_loop(lambda st: st[1], body,
+                                (base_ok, jnp.array(True)))
+    return acc, jnp.sum(acc.astype(jnp.int32))
+
+
 def filter_corners(
     x: jnp.ndarray,
     y: jnp.ndarray,
