@@ -136,7 +136,12 @@ def main():
     # Per-rep block_until_ready measures ~5% slower by adding a host sync
     # between reps; the readback at the end guarantees the queue is empty
     # (block_until_ready alone can under-report through the axon relay).
-    reps = 5
+    # r4b: the drain itself is a FIXED ~23.5 ms relay round-trip regardless
+    # of how many dispatches precede it (measured: 1 vs 20 chained 1-op
+    # scans cost the same ~23-26 ms total) — reps=20 amortizes it to
+    # ~0.04 ms/slice so the headline measures device compute, not the
+    # measurement harness.
+    reps = 20
     start = time.perf_counter()
     for _ in range(reps):
         out = run(cl_state, co_state, xs, ys, ts, vs)

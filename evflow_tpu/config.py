@@ -117,8 +117,10 @@ class ClusterConfig:
     # accumulate exactly in the MXU's f32 accumulator; HIGHEST-precision
     # operands are split exactly); coordinate sums differ from the scatter
     # path only in fp reduction order (tests pass identically either way).
-    # Default False until the TPU A/B measurement lands (prof_inscan.py).
-    stats_matmul: bool = False
+    # TPU A/B (r4b, chain-per-drain methodology, benchmarks/prof_inscan.py):
+    # fastcluster in-scan 0.753 -> 0.494 ms/slice, fused full scan
+    # 1.850 -> 1.582 — adopted as the default.
+    stats_matmul: bool = True
 
     @staticmethod
     def async_app() -> "ClusterConfig":

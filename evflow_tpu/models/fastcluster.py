@@ -266,8 +266,29 @@ def _update_slice_impl(
     cell = (y // cell_w) * ncx + (x // cell_w)
     cell = jnp.where(valid & ~assigned, cell % grid_cells, grid_cells).astype(jnp.int32)
     cell_feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), pts], axis=1)
-    cell_agg = jax.ops.segment_sum(cell_feats, cell,
-                                   num_segments=grid_cells + 1)[:grid_cells]
+    if cfg.stats_matmul:
+        # two-level one-hot factorization of the (N,) -> (G, 3) scatter-add:
+        # cell = hi*gl + lo with gl = 128 lanes; agg[hi, lo, f] =
+        # sum_i oh_hi[i, hi] * (oh_lo * feats)[i, lo*3+f] — ONE
+        # (G/gl, N) @ (N, gl*3) HIGHEST matmul (exact for integer-valued
+        # f32) instead of a 16k-lane scatter (~0.15 ms/step measured vs
+        # ~0.03 for the matmul pair, r4b floor probes).
+        gl = 128
+        gh = grid_cells // gl
+        assert grid_cells % gl == 0, grid_cells
+        hi = jnp.clip(cell // gl, 0, gh)        # parked lanes -> gh (dropped)
+        lo = cell - (cell // gl) * gl
+        oh_hi = (hi[:, None] == jnp.arange(gh, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32)                      # (N, G/gl)
+        oh_lo = (lo[:, None] == jnp.arange(gl, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32) * (cell < grid_cells)[:, None]
+        rhs = (oh_lo[:, :, None] * cell_feats[:, None, :]).reshape(n, gl * 3)
+        cell_agg = jax.lax.dot_general(
+            oh_hi, rhs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST).reshape(grid_cells, 3)
+    else:
+        cell_agg = jax.ops.segment_sum(cell_feats, cell,
+                                       num_segments=grid_cells + 1)[:grid_cells]
     if axis is not None:
         cell_agg = jax.lax.psum(cell_agg, axis)               # (G, 3) global
     cell_cnt = cell_agg[:, 0].astype(jnp.int32)   # exact: counts << 2^24

@@ -320,14 +320,18 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
     stream order to the NMS capacity, suppress, and advance the tracker."""
     n_corners = jnp.sum(corner_mask.astype(jnp.int32))
     cap = cfg.nms.max_corners
-    pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
-    keep = corner_mask & (pos < cap)
-    spos = jnp.where(keep, pos, cap)
-    cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(jnp.where(keep, x, 0),
-                                                       mode="drop")[:cap]
-    cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(jnp.where(keep, y, 0),
-                                                       mode="drop")[:cap]
+    # stream-order compaction via one (key, x, y) sort + static slice
+    # (replaces cumsum + two drop-scatters; see _representative_candidates)
+    nlanes = corner_mask.shape[0]
+    ckey = jnp.where(corner_mask,
+                     jnp.arange(nlanes, dtype=jnp.int32), jnp.int32(nlanes))
+    _, sx_, sy_ = jax.lax.sort((ckey, x, y), num_keys=1)
+    if cap > nlanes:               # capacity beyond the lane count: pad
+        sx_ = jnp.pad(sx_, (0, cap - nlanes))
+        sy_ = jnp.pad(sy_, (0, cap - nlanes))
     cvalid = jnp.arange(cap) < jnp.minimum(n_corners, cap)
+    cx = jnp.where(cvalid, sx_[:cap], 0)
+    cy = jnp.where(cvalid, sy_[:cap], 0)
 
     # r4b: accept-mask-only NMS — the tracker takes the accepted CANDIDATE
     # lanes directly (association/spawn/grouping depend on the mask and on
@@ -355,30 +359,43 @@ def _corners_to_tracks(corner_mask, x, y, state: CornerTrackState, new_sae,
 def _representative_candidates(new_sae, x, y, t, valid, m,
                                cfg: EngineConfig):
     """Compact one representative lane per touched pixel (the pixel's newest
-    event) to m candidate lanes. Returns (cx, cy, cvalid, n_dropped)."""
-    rep = valid & (new_sae[y, x] == t)       # newest event per pixel
-    # Equal-timestamp tie-break: same-pixel events in the same microsecond
-    # (opposite polarities) all satisfy sae==t and would each consume a
-    # candidate lane. Cameras emit such duplicates CONSECUTIVELY, so drop a
-    # rep lane whose immediate successor is the same (x, y, t) — four
-    # elementwise ops (an exact last-lane table via a hashed scatter+gathers
-    # measured 0.36 ms/slice in the fused scan, r3 — 13% of the whole
-    # pipeline; non-adjacent equal-t duplicates are rare enough to just
-    # spend budget, and post-NMS output is unaffected either way).
-    nxt = jnp.roll(jnp.stack([x, y, t, valid.astype(jnp.int32)]), -1, axis=1)
-    dup_next = valid & (nxt[3] != 0) & (nxt[0] == x) & (nxt[1] == y) \
-        & (nxt[2] == t)
-    dup_next = dup_next.at[-1].set(False)
-    rep = rep & ~dup_next
+    event) to m candidate lanes. Returns (cx, cy, cvalid, n_dropped).
+
+    r4b: the representative is the pixel's LAST event in stream order,
+    found by one (pixel-id, reversed-lane) sort — run starts of the sorted
+    keys are the last occupants. This replaces the r2-r4 `sae[y,x] == t`
+    form: a 16k-coordinate gather costs ~0.14 ms/slice on this backend
+    (~9 ns/element descriptor rate) vs ~0.01 for the sort, and it needed an
+    adjacent-duplicate heuristic for equal-timestamp lanes — the sort gives
+    exactly ONE representative per pixel by construction. Timestamps are
+    nondecreasing in stream order, so the last event carries the pixel's
+    newest timestamp (= the sae value after the scatter-max). For pixels
+    whose newest timestamp appears on several non-adjacent lanes the old
+    form kept each (minus adjacent dups) and this form keeps one — post-NMS
+    output is unchanged (same-pixel duplicates lose at distance 0); only
+    the candidate stream ORDER between distinct pixels can shift in that
+    equal-timestamp corner, the same documented order-deviation class as
+    corner_track_step's note above."""
+    n = x.shape[0]
+    w1 = cfg.sensor.width + 1
+    pixkey = jnp.where(valid, y * w1 + x, jnp.int32(w1 * (cfg.sensor.height + 1)))
+    lane = jnp.arange(n, dtype=jnp.int32)
+    skey, srev = jax.lax.sort((pixkey, (n - 1) - lane), num_keys=2)
+    first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]]) \
+        & (skey < w1 * (cfg.sensor.height + 1))
+    rep = jnp.zeros((n,), bool).at[(n - 1) - srev].set(first)
     n_rep = jnp.sum(rep.astype(jnp.int32))
-    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
-    keep = rep & (pos < m)
-    spos = jnp.where(keep, pos, m)
-    cx = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
-        jnp.where(keep, x, 0), mode="drop")[:m]
-    cy = jnp.zeros((m + 1,), jnp.int32).at[spos].set(
-        jnp.where(keep, y, 0), mode="drop")[:m]
+    # stream-order compaction as ONE (key, x, y) sort + static slice — the
+    # cumsum + two drop-scatters this replaces cost ~10x more per slice
+    # (scatter ~0.1 ms vs sort ~0.01 at 16k lanes, r4b floor probes)
+    ckey = jnp.where(rep, lane, jnp.int32(n))
+    _, sx, sy = jax.lax.sort((ckey, x, y), num_keys=1)
+    if m > n:                      # capacity beyond the lane count: pad
+        sx = jnp.pad(sx, (0, m - n))
+        sy = jnp.pad(sy, (0, m - n))
     cvalid = jnp.arange(m) < jnp.minimum(n_rep, m)
+    cx = jnp.where(cvalid, sx[:m], 0)
+    cy = jnp.where(cvalid, sy[:m], 0)
     return cx, cy, cvalid, jnp.maximum(n_rep - m, 0)
 
 
@@ -478,10 +495,15 @@ def corner_track_step(
         if cfg.efast.dense_detect:
             # dense per-band stencil (Pallas on TPU): mask computed once for
             # the slice's touched bands, candidates look it up — replaces the
-            # candidate-count-proportional ring gather (r3: 1.61 vs 2.02 ms)
+            # candidate-count-proportional ring gather (r3: 1.61 vs 2.02 ms).
+            # r4b: the activity map is built from the COMPACTED candidates
+            # (the representative pixels), not all events — detection only
+            # consults candidate pixels, so their tiles are exactly the ones
+            # that must be active, and the activity scatter-max runs over
+            # m <= N/2 lanes
             corner_mask = efast.detect_corners_dense(
-                new_sae, y, valid, cx, cy, cvalid, cfg.efast, cfg.sensor,
-                ev_x=x)
+                new_sae, cy, cvalid, cx, cy, cvalid, cfg.efast, cfg.sensor,
+                ev_x=cx)
         else:
             corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
                                                cfg.efast, cfg.sensor)

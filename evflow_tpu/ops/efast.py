@@ -426,11 +426,14 @@ def corner_mask_dense_pallas_sparse2(sae: jnp.ndarray, active: jnp.ndarray,
 
     def kernel(act_ref, sae_ref, out_ref):
         i = pl.program_id(0)
-        slab = sae_ref[pl.ds(i * band, band + 8), :]        # (band+8, w+8)
         for j in range(nwt):
             @pl.when(act_ref[i, j] != 0)
             def _(j=j):
-                tile = slab[:, j * wtile:j * wtile + wtile + 8]
+                # tile slab read INSIDE the predicate (dynamic sublane
+                # offset + static lane slice — both Mosaic-friendly), so a
+                # fully-inactive band reads nothing
+                tile = sae_ref[pl.ds(i * band, band + 8),
+                               j * wtile:j * wtile + wtile + 8]
                 out_ref[:, j * wtile:(j + 1) * wtile] = _band_mask(
                     tile, band, wtile, cfg).astype(jnp.int32)
 
