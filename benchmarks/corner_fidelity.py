@@ -56,7 +56,9 @@ for q in (1, 2, 4, 8):
     comp = time.perf_counter() - t0
     np.asarray(out[1].num_filtered).ravel()[:1]
     t0 = time.perf_counter()
-    reps = 3
+    # r4b: the draining readback is a FIXED ~23.5 ms round-trip (see
+    # prof_inscan.py) — 20 chained reps amortize it below 0.04 ms/slice
+    reps = 20
     for _ in range(reps):
         out = pipeline.corner_track_scan(st, xs, ys, ts, vs, cfg)
     np.asarray(out[1].num_filtered).ravel()[:1]

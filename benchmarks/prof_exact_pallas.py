@@ -44,7 +44,7 @@ def run(state, xs, ys, ts, ps, vs, cfg, pallas=False):
     return st
 
 
-def measure(label, data, cfg, pallas, reps=3):
+def measure(label, data, cfg, pallas, reps=10):  # r4b: amortize the fixed ~23.5 ms drain
     xs, ys, ts, ps, vs = data
     n = xs.shape[1]
     state = ae.init_state(cfg)
@@ -64,7 +64,7 @@ def measure(label, data, cfg, pallas, reps=3):
     return dt
 
 
-def measure_pipeline(label, ccfg, reps=3):
+def measure_pipeline(label, ccfg, reps=10):  # r4b: amortize the fixed ~23.5 ms drain
     """Full exact PIPELINE (dedup -> capped engine -> snapshot) on raw
     16384-event slices — the r3 number to beat is 135 ms/slice (121k
     raw events/s); real-time = 50 ms (327.7k)."""

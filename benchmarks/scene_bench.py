@@ -56,7 +56,8 @@ def measure(stream, cfg):
     compile_s = time.perf_counter() - t_c
     np.asarray(out[1][0].unique_count[:1])
 
-    reps = 5
+    # r4b: 20 chained reps amortize the fixed ~23.5 ms drain round-trip
+    reps = 20
     start = time.perf_counter()
     for _ in range(reps):
         out = run(cl_state, co_state, xs, ys, ts, vs)
