@@ -1,12 +1,14 @@
-"""Speed-of-light follow-up (r4, VERDICT item 6): the identified cheapest
-lever is step-count reduction — per-slice stage times sit far above their
-HBM/VPU floors while each scan step pays a fixed ~0.5-0.8 ms of dispatch/
-loop overhead, so amortizing it over multiple slices per step should pay.
+"""Scan-unroll probe (r4; conclusion superseded r4b).
 
 Measures bench.py's exact full_scan with lax.scan unroll in {1, 2, 4}:
-unroll=k lowers k slice bodies per loop iteration (identical results — it is
-the same scan), so the per-step overhead amortizes k-fold and XLA may fuse
-across slice boundaries.
+unroll=k lowers k slice bodies per loop iteration (identical results — it
+is the same scan). r4 measured NO win and read that as "XLA already
+overlaps iterations". r4b explains it differently: the "~0.75 ms/step scan
+floor" this probe was chasing never existed — it was the fixed ~23.5 ms
+draining-readback round-trip divided by 32 slices (a 1-op step and a
+256-step scan measure the same total). Unroll correctly changed nothing
+because there was nothing per-step to amortize. See README speed-of-light
+section and benchmarks/prof_inscan.py's chain-per-drain methodology.
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
