@@ -20,7 +20,7 @@ from evflow_tpu.models import optics
 
 
 def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
-               laps: int = 3, max_neighbors: int = 64):
+               laps: int = 10, max_neighbors: int = 64):
     """(dense_best, grid_best) seconds for the ε-neighborhood + core-dist
     precompute — the part the reference spends its kd-tree time on.
 
@@ -39,14 +39,20 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     # return before the remote queue drains on this rig (measured 1 ms for a
     # 200+ ms computation), so only a real device->host roundtrip gives an
     # honest wall time (it adds the ~28 ms relay latency — included).
-    dev_times = []
-    for _ in range(laps):
+    # r4b: laps are CHAINED with one draining readback at the end, exactly
+    # the reference harness's amortized loop (benchmark.cpp:62-103 times
+    # `laps` runs and divides) — the drain itself is a FIXED ~23.5 ms relay
+    # round-trip (see prof_inscan.py), so per-lap readbacks were charging
+    # each lap a constant that the reference's loop never pays.
+    def _timed_laps(fn):
         t0 = time.perf_counter()
-        table = optics.compute_neighbors(pts, eps, min_pts,
-                                         max_neighbors=max_neighbors,
-                                         approx=True)
+        for _ in range(laps):
+            table = fn()
         _np.asarray(table.count[:1])
-        dev_times.append(time.perf_counter() - t0)
+        return (time.perf_counter() - t0) / laps
+
+    dense_mean = _timed_laps(lambda: optics.compute_neighbors(
+        pts, eps, min_pts, max_neighbors=max_neighbors, approx=True))
     # grid-bucketed path (None when it does not apply, e.g. dim > 3)
     grid_best = None
     # full-window first (r3: skipping per-row selection is the big win —
@@ -57,27 +63,16 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
                                          max_neighbors=max_neighbors,
                                          **kw) is None:
             continue
-        gt = []
-        for _ in range(laps):
-            t0 = time.perf_counter()
-            table = optics.compute_neighbors_grid(pts, eps, min_pts,
-                                                  max_neighbors=max_neighbors,
-                                                  **kw)
-            _np.asarray(table.count[:1])
-            gt.append(time.perf_counter() - t0)
-        grid_best = min(grid_best, min(gt)) if grid_best else min(gt)
+        gt = _timed_laps(lambda: optics.compute_neighbors_grid(
+            pts, eps, min_pts, max_neighbors=max_neighbors, **kw))
+        grid_best = min(grid_best, gt) if grid_best else gt
     # zero-gather cell-pair shift path (the auto choice at d <= 2)
     if dim <= 2 and optics.compute_neighbors_cellpair(
             pts, eps, min_pts, max_neighbors=max_neighbors) is not None:
-        ct = []
-        for _ in range(laps):
-            t0 = time.perf_counter()
-            table = optics.compute_neighbors_cellpair(
-                pts, eps, min_pts, max_neighbors=max_neighbors)
-            _np.asarray(table.count[:1])
-            ct.append(time.perf_counter() - t0)
-        grid_best = min(grid_best, min(ct)) if grid_best else min(ct)
-    return min(dev_times), grid_best
+        ct = _timed_laps(lambda: optics.compute_neighbors_cellpair(
+            pts, eps, min_pts, max_neighbors=max_neighbors))
+        grid_best = min(grid_best, ct) if grid_best else ct
+    return dense_mean, grid_best
 
 
 def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,

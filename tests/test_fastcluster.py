@@ -126,3 +126,73 @@ def test_corner_pipeline_runs_end_to_end():
     # NMS reduces corner count
     for o in outs[1:]:
         assert int(o.num_filtered) <= int(o.num_corners)
+
+
+def test_stats_matmul_equals_sort_scatter_path():
+    """r4b: the one-hot-matmul stats path (blocked-triangular cumsum ranks +
+    MXU aggregate/merge/seeding matmuls) must reproduce the sort+segment_sum
+    path — counts/labels/liveness EXACTLY (integer-valued f32 operands
+    accumulate exactly through the MXU's f32 accumulator), coordinate sums
+    up to fp reduction order."""
+    import dataclasses
+    import jax
+    cfgA = dataclasses.replace(CFG, stats_matmul=False)
+    cfgB = dataclasses.replace(CFG, stats_matmul=True)
+    stA = fc.init_state(cfgA)
+    stB = fc.init_state(cfgB)
+    rng = np.random.default_rng(7)
+    n = 4096
+    for s in range(6):
+        cx = rng.uniform(50, 950, 5)
+        cy = rng.uniform(50, 650, 5)
+        k = rng.integers(0, 5, n)
+        x = np.clip((cx[k] + rng.normal(0, 9, n)), 0, 1000).astype(np.int32)
+        y = np.clip((cy[k] + rng.normal(0, 9, n)), 0, 700).astype(np.int32)
+        v = rng.random(n) < 0.9
+        stA, outA = fc.update_slice(stA, jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(v), cfgA, SENSOR)
+        stB, outB = fc.update_slice(stB, jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(v), cfgB, SENSOR)
+        np.testing.assert_array_equal(np.asarray(outA.n), np.asarray(outB.n))
+        np.testing.assert_array_equal(np.asarray(outA.alive),
+                                      np.asarray(outB.alive))
+        np.testing.assert_array_equal(np.asarray(outA.cid),
+                                      np.asarray(outB.cid))
+        np.testing.assert_array_equal(np.asarray(outA.labels),
+                                      np.asarray(outB.labels))
+        np.testing.assert_allclose(np.asarray(outA.centroid),
+                                   np.asarray(outB.centroid), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stA.mu), np.asarray(stB.mu),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(outA.flow),
+                                   np.asarray(outB.flow), atol=1e-3)
+
+
+def test_representative_candidates_sort_oracle():
+    """r4b: the two-sort representative selection must pick exactly the LAST
+    event lane of each touched pixel, compacted in stream order of that
+    lane, with overflow beyond the budget dropped from the tail and
+    reported."""
+    from evflow_tpu.config import DEFAULT
+    rng = np.random.default_rng(3)
+    n, m = 512, 64
+    # few pixels -> heavy duplication incl. equal timestamps
+    px = rng.integers(0, 40, n)
+    py = rng.integers(0, 30, n)
+    t = np.sort(rng.integers(0, 200, n)).astype(np.int32)
+    valid = rng.random(n) < 0.85
+    # numpy oracle: last valid lane per pixel, in stream order of that lane
+    last = {}
+    for i in range(n):
+        if valid[i]:
+            last[(int(px[i]), int(py[i]))] = i
+    lanes = sorted(last.values())
+    exp = [(int(px[i]), int(py[i])) for i in lanes][:m]
+    cx, cy, cv, nd = pipeline._representative_candidates(
+        None, jnp.asarray(px.astype(np.int32)),
+        jnp.asarray(py.astype(np.int32)), jnp.asarray(t),
+        jnp.asarray(valid), m, DEFAULT)
+    got = [(int(a), int(b)) for a, b, ok in
+           zip(np.asarray(cx), np.asarray(cy), np.asarray(cv)) if ok]
+    assert got == exp
+    assert int(nd) == max(len(lanes) - m, 0)
