@@ -383,7 +383,8 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
                            approx: bool = False,
                            allow_projected: bool = False,
                            full_window: bool = False,
-                           full_window_entry_cap: int = 192 << 20
+                           full_window_entry_cap: int = 192 << 20,
+                           proj_dims: int = 3,
                            ) -> Optional[NeighborTable]:
     """Grid-bucketed ε-neighborhoods. Returns None when the grid degenerates
     (over-dense cells or too many cells) — caller falls back to the dense
@@ -417,7 +418,11 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     n, d = pts_np.shape
     if n == 0 or (d > 4 and not allow_projected):
         return None
-    g = min(d, 4) if d <= 4 else 3
+    # r4b: the projected grid dimensionality is tunable (proj_dims) — at
+    # d=6 n=100k the g=3 projection measured 1144 ms (r2) because eps grows
+    # with d and fattens the windows; g=4 narrows each window cell by
+    # another eps/extent factor (3^4=81 windows but far smaller buckets)
+    g = min(d, 4) if d <= 4 else min(proj_dims, 4)
     # fp32 throughout so host occupancy counting mirrors the device's cell
     # arithmetic bit-for-bit (a boundary point must not overflow its bucket)
     mins = pts_np.min(axis=0)

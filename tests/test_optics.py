@@ -316,6 +316,31 @@ def test_projected_grid_matches_dense_high_dim():
             assert a == b, (dim, i)
 
 
+def test_projected_grid_g4_exact_sets():
+    """r4b: the projected grid's dimensionality is tunable (proj_dims); at
+    g=4 every full-D eps-neighbor still lies in the ±1 window of the 4-D
+    projection. Verify g=3 and g=4 against a fp32 difference-form numpy
+    oracle (the dense |a|²+|b|²-2ab panel can MISS true neighbors within an
+    ulp of eps — the grid's diff-form distances are the more accurate
+    contract, so the oracle uses the same form)."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for dim in (5, 6):
+        pts = uniform_cloud(3000, dim, 1000.0, seed=5)
+        eps = optics.epsilon_estimation(pts, 10)
+        for g in (3, 4):
+            t = optics.compute_neighbors_grid(pts, eps, 10, max_neighbors=512,
+                                              allow_projected=True,
+                                              proj_dims=g)
+            assert t is not None, (dim, g)
+            ti = np.asarray(t.idx)
+            for i in range(0, len(pts), 107):
+                d32 = np.sqrt(np.sum((pts - pts[i]).astype(np.float32) ** 2,
+                                     axis=1))
+                oracle = set(np.where(d32 <= np.float32(eps))[0].tolist())
+                got = {int(v) for v in ti[i] if v >= 0}
+                assert got == oracle, (dim, g, i, got ^ oracle)
+
+
 def test_neighbor_cap_truncation():
     """VERDICT r2 item 10: quantify the max_neighbors cap on a dense scene
     whose true neighborhoods far exceed the cap.
