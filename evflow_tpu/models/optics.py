@@ -418,10 +418,14 @@ def compute_neighbors_grid(points: np.ndarray, eps: float, min_pts: int,
     n, d = pts_np.shape
     if n == 0 or (d > 4 and not allow_projected):
         return None
-    # r4b: the projected grid dimensionality is tunable (proj_dims) — at
-    # d=6 n=100k the g=3 projection measured 1144 ms (r2) because eps grows
-    # with d and fattens the windows; g=4 narrows each window cell by
-    # another eps/extent factor (3^4=81 windows but far smaller buckets)
+    # r4b: the projected grid dimensionality is tunable (proj_dims) — eps
+    # grows with d and fattens the windows, so more projected dims narrow
+    # each window cell. TPU-measured at n=100k min_pts=10: d=5 g=3-select
+    # 133 s (!) vs g=4 1.48-1.51 s; d=6 g=3 3.7 s vs g=4 2.87 s. g=4 is
+    # therefore the fastest EXACT high-dim path (the dense-exact top_k wall
+    # is ~8.5 s) but still loses to the labeled-approx dense 2stage
+    # (~330-340 ms) — the auto path keeps dense for d > 4 and this stays
+    # opt-in (allow_projected=True, proj_dims=4).
     g = min(d, 4) if d <= 4 else min(proj_dims, 4)
     # fp32 throughout so host occupancy counting mirrors the device's cell
     # arithmetic bit-for-bit (a boundary point must not overflow its bucket)
