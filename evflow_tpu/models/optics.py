@@ -48,10 +48,22 @@ def epsilon_estimation(points: np.ndarray, min_pts: int) -> float:
         return 0.0
     bl = points.min(axis=0)
     tr = points.max(axis=0)
-    volume = float(np.prod(np.abs(tr - bl)))
-    space_per = (volume / n) * min_pts
-    unit_ball = math.sqrt(math.pi ** d) / math.gamma(d / 2.0 + 1.0)
-    return (space_per / unit_ball) ** (1.0 / d)
+    ext = np.abs(tr - bl)
+    volume = float(np.prod(ext)) if d <= 64 else np.inf
+    # r4b: the direct formula overflows float64 at high d (extent^d at
+    # d=128, math.gamma(d/2+1) at d>=340) — fall back to the identical
+    # log-space evaluation there. The direct path is kept for the
+    # reference-validated range (ε bounds match optics.hpp's own unit
+    # vectors to 6 decimals; log-space rounding could shift an ulp).
+    if d <= 64 and np.isfinite(volume) and volume > 0.0:
+        space_per = (volume / n) * min_pts
+        unit_ball = math.sqrt(math.pi ** d) / math.gamma(d / 2.0 + 1.0)
+        return (space_per / unit_ball) ** (1.0 / d)
+    if np.any(ext <= 0.0):
+        return 0.0
+    log_space_per = float(np.sum(np.log(ext))) - math.log(n) + math.log(min_pts)
+    log_unit_ball = 0.5 * d * math.log(math.pi) - math.lgamma(d / 2.0 + 1.0)
+    return math.exp((log_space_per - log_unit_ball) / d)
 
 
 # --------------------------------------------------------------------------

@@ -564,3 +564,23 @@ def test_two_stage_dense_reachability_end_to_end():
     ca = optics.get_cluster_indices(rd_a, 20.0)
     cb = optics.get_cluster_indices(rd_b, 20.0)
     assert sorted(map(sorted, ca)) == sorted(map(sorted, cb))
+
+
+def test_epsilon_estimation_high_dim_no_overflow():
+    """r4b: the direct ε formula overflows float64 at high d (extent^d,
+    Γ(d/2+1), and their ratio); the log-space fallback must agree with the
+    direct form in the overlap region and stay finite at the reference
+    benchmark's d=128/512 configs (Benchmark.ods rows D=128, D=512)."""
+    import math
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for d in (100, 128, 512):
+        pts = uniform_cloud(1000, d, 1000.0, seed=1)
+        e = optics.epsilon_estimation(pts, 10)
+        assert math.isfinite(e) and e > 0.0, (d, e)
+    # overlap region: log-space form equals the validated direct form
+    pts = uniform_cloud(1000, 6, 1000.0, seed=1)
+    e = optics.epsilon_estimation(pts, 10)
+    ext = np.abs(pts.max(0) - pts.min(0)).astype(np.float64)
+    lsp = float(np.sum(np.log(ext))) - math.log(len(pts)) + math.log(10)
+    lub = 0.5 * 6 * math.log(math.pi) - math.lgamma(6 / 2.0 + 1.0)
+    np.testing.assert_allclose(e, math.exp((lsp - lub) / 6), rtol=1e-7)
