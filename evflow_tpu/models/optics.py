@@ -688,7 +688,8 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
                                use_native: bool = True,
                                approx: bool = False,
                                method: str = "auto",
-                               full_window: bool = False
+                               full_window: bool = False,
+                               proj_dims: int = 3,
                                ) -> List[ReachabilityDist]:
     """Full OPTICS: TPU ε-neighborhoods, host seed-queue sweep.
 
@@ -740,7 +741,9 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
             table = compute_neighbors_grid(points, epsilon, min_pts,
                                            max_neighbors=max_neighbors,
                                            approx=approx,
-                                           full_window=full_window)
+                                           full_window=full_window,
+                                           allow_projected=(method == "grid"),
+                                           proj_dims=proj_dims)
             if table is None and method == "grid":
                 raise ValueError("grid neighbor search does not apply "
                                  "(degenerate grid or over-dense cells)")

@@ -197,7 +197,8 @@ def cmd_optics(args):
     pts = np.stack([s.x, s.y], axis=1).astype(np.float64)
     rd = optics.compute_reachability_dists(
         pts, args.min_pts, args.eps, method=args.method,
-        max_neighbors=args.max_neighbors, full_window=args.full_window)
+        max_neighbors=args.max_neighbors, full_window=args.full_window,
+        proj_dims=args.proj_dims)
     if args.chi > 0:
         flat = optics.get_chi_clusters_flat(rd, args.chi, args.min_pts)
         clusters = optics.get_cluster_indices_chi(rd, flat)
@@ -391,6 +392,10 @@ def main(argv=None):
                         "panels row-sharded over all local devices, "
                         "parallel/batch.py)")
     p.add_argument("--max-neighbors", type=int, default=256)
+    p.add_argument("--proj-dims", type=int, default=3,
+                   help="projected-grid dimensionality for d>4 with "
+                        "--method grid (r4b: 4 is the fastest exact "
+                        "high-dim path; see models/optics.py)")
     p.add_argument("--full-window", action="store_true",
                    help="grid skips nearest-k selection and returns masked "
                         "3^g*B windows (fastest on-device; wider table)")
