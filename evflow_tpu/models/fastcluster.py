@@ -266,16 +266,17 @@ def _update_slice_impl(
     cell = (y // cell_w) * ncx + (x // cell_w)
     cell = jnp.where(valid & ~assigned, cell % grid_cells, grid_cells).astype(jnp.int32)
     cell_feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), pts], axis=1)
-    if cfg.stats_matmul:
+    if cfg.stats_matmul and grid_cells % 128 == 0:
         # two-level one-hot factorization of the (N,) -> (G, 3) scatter-add:
         # cell = hi*gl + lo with gl = 128 lanes; agg[hi, lo, f] =
         # sum_i oh_hi[i, hi] * (oh_lo * feats)[i, lo*3+f] — ONE
         # (G/gl, N) @ (N, gl*3) HIGHEST matmul (exact for integer-valued
         # f32) instead of a 16k-lane scatter (~0.15 ms/step measured vs
-        # ~0.03 for the matmul pair, r4b floor probes).
+        # ~0.03 for the matmul pair, r4b floor probes). Requires
+        # grid_cells % 128 == 0 (lane tiling); other grid sizes take the
+        # segment_sum branch below with identical counts/sums.
         gl = 128
         gh = grid_cells // gl
-        assert grid_cells % gl == 0, grid_cells
         hi = jnp.clip(cell // gl, 0, gh)        # parked lanes -> gh (dropped)
         lo = cell - (cell // gl) * gl
         oh_hi = (hi[:, None] == jnp.arange(gh, dtype=jnp.int32)[None, :]

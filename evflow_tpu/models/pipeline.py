@@ -502,8 +502,8 @@ def corner_track_step(
             # that must be active, and the activity scatter-max runs over
             # m <= N/2 lanes
             corner_mask = efast.detect_corners_dense(
-                new_sae, cy, cvalid, cx, cy, cvalid, cfg.efast, cfg.sensor,
-                ev_x=cx)
+                new_sae, ev_y=cy, ev_valid=cvalid, x=cx, y=cy, valid=cvalid,
+                cfg=cfg.efast, sensor=cfg.sensor, ev_x=cx)
         else:
             corner_mask = efast.detect_corners(new_sae, cx, cy, cvalid,
                                                cfg.efast, cfg.sensor)

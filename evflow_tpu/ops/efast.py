@@ -474,9 +474,12 @@ def detect_corners_dense(sae, ev_y, ev_valid, x, y, valid,
                          sensor: SensorConfig = SensorConfig(),
                          ev_x=None) -> jnp.ndarray:
     """Dense-backend detection: build the per-tile corner mask once from the
-    slice's touched tiles (ev_x/ev_y/ev_valid — ALL events, so every tile a
-    candidate can live in is active), then look candidates up. Returns the
-    (N,) corner mask for (x, y, valid) candidates — bit-identical to
+    activity events (ev_x/ev_y/ev_valid), then look candidates up. The
+    activity set need NOT be all events — the contract is only that every
+    tile containing a consulted candidate pixel is active. Passing the
+    candidates themselves as the activity set (r4b pipeline) satisfies this
+    by construction and shrinks the activity scatter. Returns the (N,)
+    corner mask for (x, y, valid) candidates — bit-identical to
     detect_corners (tests/test_ops.py).
 
     r4: when ev_x is given and W divides into 128-px tiles, predication is

@@ -99,41 +99,17 @@ def filter_corners(
     neighbor's accepted right-boundary strip can reach them (box overlap),
     so passing that strip as immune reproduces the full greedy result
     exactly (parallel/tiling.py).
+
+    Implemented as `accept_corners` (the single home of the suppression
+    fixpoint) followed by output compaction.
     """
     c = x.shape[0]
-    half = cfg.box_size // 2
     xf = x.astype(jnp.int32)
     yf = y.astype(jnp.int32)
-
-    # Pairwise "j suppresses i" structure: j earlier, both real, box overlap.
-    dx = jnp.abs(xf[:, None] - xf[None, :])
-    dy = jnp.abs(yf[:, None] - yf[None, :])
-    overlap = (dx <= 2 * half) & (dy <= 2 * half)
-    earlier = jnp.arange(c)[:, None] > jnp.arange(c)[None, :]  # j < i
-    both = valid[:, None] & valid[None, :]
-    sup = overlap & earlier & both  # sup[i, j]: accepted j would suppress i
-
-    base_ok = valid
-    if immune_x is not None:
-        pdx = jnp.abs(xf[:, None] - immune_x.astype(jnp.int32)[None, :])
-        pdy = jnp.abs(yf[:, None] - immune_y.astype(jnp.int32)[None, :])
-        hit = jnp.any((pdx <= 2 * half) & (pdy <= 2 * half)
-                      & immune_valid[None, :], axis=1)
-        base_ok = valid & ~hit
-
-    def body(state):
-        acc, _ = state
-        new_acc = base_ok & ~jnp.any(sup & acc[None, :], axis=1)
-        return new_acc, jnp.any(new_acc != acc)
-
-    def cond(state):
-        return state[1]
-
-    acc0 = base_ok
-    acc, _ = jax.lax.while_loop(cond, body, (acc0, jnp.array(True)))
-
+    acc, count = accept_corners(x, y, valid, cfg,
+                                immune_x=immune_x, immune_y=immune_y,
+                                immune_valid=immune_valid)
     pos = jnp.cumsum(acc.astype(jnp.int32)) - 1
-    count = jnp.sum(acc.astype(jnp.int32))
     scatter_pos = jnp.where(acc, pos, c - 1)
     ox = jnp.zeros((c,), jnp.int32).at[scatter_pos].set(jnp.where(acc, xf, 0), mode="drop")
     oy = jnp.zeros((c,), jnp.int32).at[scatter_pos].set(jnp.where(acc, yf, 0), mode="drop")

@@ -392,10 +392,17 @@ def main(argv=None):
                         "panels row-sharded over all local devices, "
                         "parallel/batch.py)")
     p.add_argument("--max-neighbors", type=int, default=256)
-    p.add_argument("--proj-dims", type=int, default=3,
+    def _proj_dims(v):
+        iv = int(v)
+        if not 3 <= iv <= 4:
+            raise argparse.ArgumentTypeError(
+                "--proj-dims must be 3 or 4 (supported projected-grid "
+                "dimensionalities; see models/optics.py)")
+        return iv
+    p.add_argument("--proj-dims", type=_proj_dims, default=3,
                    help="projected-grid dimensionality for d>4 with "
                         "--method grid (r4b: 4 is the fastest exact "
-                        "high-dim path; see models/optics.py)")
+                        "high-dim path; supported: 3 or 4)")
     p.add_argument("--full-window", action="store_true",
                    help="grid skips nearest-k selection and returns masked "
                         "3^g*B windows (fastest on-device; wider table)")
