@@ -235,6 +235,207 @@ def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
     return NeighborTable(idx, dist, cnt, core)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
+                                             "min_pts", "recall",
+                                             "seg_w", "seg_cap"))
+def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
+                                     min_pts, recall, seg_w, seg_cap):
+    """Count-CERTIFIED exact selection (r5, VERDICT r4 task #1).
+
+    Same centered bf16 gate panel as `_compute_neighbors_2stage_jit` (the
+    error-inflated gate admits a proven superset of the true ε-neighbors),
+    but the per-row candidate selection is *certified*: the gate count
+    cnt_gate is exact (a mask sum), the selected slots are finite iff they
+    hold a gate-passer, so
+
+        certified[row] = (cnt_gate <= k) and (#finite selected == cnt_gate)
+
+    proves the row captured its ENTIRE gate superset — and therefore, after
+    the exact diff-form refine at the true eps, its exact ε-neighborhood.
+    Rows that fail (approx_max_k reduction collisions, or gate overflow
+    past k) are returned flagged; the host wrapper re-runs only those
+    through `_certified_fallback_jit` (full-width exact sort selection).
+
+    seg_w > 0 interposes a per-segment top-`seg_cap` reduction before
+    approx_max_k: the (B, N) masked panel is reshaped to (B, S, seg_w)
+    segments, the seg_cap smallest entries of each segment are peeled by
+    repeated min/argmin/mask-out passes, and approx_max_k runs on the
+    (B, seg_cap*S) candidate panel instead of the full width. Any passer
+    beyond seg_cap in one segment is lost — and then #finite < cnt_gate, so
+    the certificate catches it; with ~tens of passers spread over thousands
+    of segments, P(>seg_cap in one segment) is vanishing. This trades VPU
+    min-passes for approx_max_k width.
+    """
+    n, d = pts.shape
+    c = jnp.mean(pts, axis=0)
+    pts_c = pts - c
+    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+    if seg_w:
+        nseg = -(-n // seg_w)
+        wpad = nseg * seg_w - n
+
+    def body(i, acc):
+        ia, da, ca, fa, cert_a = acc
+        rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0) - c
+        r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+        cross = jnp.dot(rows.astype(jnp.bfloat16),
+                        pts_c.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        d2b = r2 + q2 - 2.0 * cross
+        err = jnp.float32(2.0 ** -5) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
+        keep = d2b <= eps * eps + err
+        cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
+        masked = jnp.where(keep, d2b, jnp.inf)
+        if seg_w:
+            seg = jnp.pad(masked, ((0, 0), (0, wpad)),
+                          constant_values=jnp.inf).reshape(block, nseg, seg_w)
+            vals, cols = [], []
+            cur = seg
+            col_iota = jnp.arange(seg_w, dtype=jnp.int32)[None, None, :]
+            for _ in range(seg_cap):
+                a1 = jnp.argmin(cur, axis=2)
+                vals.append(jnp.min(cur, axis=2))
+                cols.append(a1.astype(jnp.int32))
+                cur = jnp.where(col_iota == a1[..., None], jnp.inf, cur)
+            candv = jnp.stack(vals, axis=2).reshape(block, nseg * seg_cap)
+            candc = (jnp.stack(cols, axis=2)
+                     + (jnp.arange(nseg, dtype=jnp.int32)
+                        * seg_w)[None, :, None]).reshape(block,
+                                                         nseg * seg_cap)
+            neg, sel = jax.lax.approx_max_k(-candv, k, recall_target=recall)
+            idx = jnp.take_along_axis(candc, sel, axis=1)
+        else:
+            neg, idx = jax.lax.approx_max_k(-masked, k, recall_target=recall)
+        captured = jnp.sum(jnp.isfinite(-neg), axis=1).astype(jnp.int32)
+        cert = (cnt <= k) & (captured == cnt)
+        # exact diff-form refine of the selected candidates at the true eps
+        idx = jnp.clip(idx, 0, n - 1)
+        cand = pts_c[idx]                                  # (B, k, d)
+        d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
+        d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
+        dx = jnp.sqrt(d2x)
+        dx = jnp.where(dx <= eps, dx, jnp.inf)
+        order = jnp.argsort(dx, axis=1)
+        dx = jnp.take_along_axis(dx, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        idx = jnp.where(jnp.isfinite(dx), idx, -1)
+        return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(da, dx, i * block, 0),
+                jax.lax.dynamic_update_slice_in_dim(ca, cnt, i * block, 0),
+                fa,
+                jax.lax.dynamic_update_slice_in_dim(cert_a, cert,
+                                                    i * block, 0))
+
+    init = (jnp.zeros((nblocks * block, k), jnp.int32),
+            jnp.full((nblocks * block, k), jnp.inf, jnp.float32),
+            jnp.zeros((nblocks * block,), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((nblocks * block,), bool))
+    idx, dist, cnt, _, cert = jax.lax.fori_loop(0, nblocks, body, init)
+    idx, dist, cnt, cert = idx[:n], dist[:n], cnt[:n], cert[:n]
+    cnt_true = jnp.sum(jnp.isfinite(dist), axis=1).astype(jnp.int32)
+    if min_pts <= k:
+        core = dist[:, min_pts - 1]
+    else:
+        core = jnp.full((n,), jnp.inf, jnp.float32)
+    core = jnp.where(cnt_true >= min_pts, core, jnp.inf)
+    return idx, dist, cnt, core, cert
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_pts", "cb", "ncb"))
+def _certified_fallback_jit(fpts, pts, eps, k, min_pts, cb, ncb):
+    """Exact full-width selection for the rows the certificate rejected:
+    fp32 difference-form distances (the refine arithmetic — membership at
+    the eps boundary is decided by the SAME fp expression as certified
+    rows), then a variadic (dist, col) row sort; the k-smallest prefix is
+    the exact nearest-k and the full sorted row yields core_dist even past
+    k. fpts is the (R, d) block of rejected query points (inf padding)."""
+    r, d = fpts.shape
+    n = pts.shape[0]
+    npad = ncb * cb
+    pts_cpad = jnp.pad(pts, ((0, npad - n), (0, 0)), constant_values=jnp.inf)
+
+    def body(i, panel):
+        cols = jax.lax.dynamic_slice_in_dim(pts_cpad, i * cb, cb, 0)
+        d2 = jnp.sum((fpts[:, None, :] - cols[None, :, :]) ** 2, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(panel, d2, i * cb, 1)
+
+    panel = jax.lax.fori_loop(
+        0, ncb, body, jnp.full((r, npad), jnp.inf, jnp.float32))
+    dist = jnp.sqrt(panel)
+    masked = jnp.where(dist <= eps, dist, jnp.inf)
+    colidx = jnp.broadcast_to(jnp.arange(npad, dtype=jnp.int32)[None, :],
+                              (r, npad))
+    sd, si = jax.lax.sort((masked, colidx), num_keys=1)
+    sd_k = jax.lax.slice_in_dim(sd, 0, k, axis=1)
+    si_k = jnp.where(jnp.isfinite(sd_k),
+                     jax.lax.slice_in_dim(si, 0, k, axis=1), -1)
+    cnt = jnp.sum(jnp.isfinite(masked), axis=1).astype(jnp.int32)
+    if min_pts <= npad:
+        core = sd[:, min_pts - 1]
+    else:
+        core = jnp.full((r,), jnp.inf, jnp.float32)
+    core = jnp.where(cnt >= min_pts, core, jnp.inf)
+    return si_k, sd_k, cnt, core
+
+
+def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
+                                max_neighbors: int = 256,
+                                block: int = 2048,
+                                recall_target: float = 0.95,
+                                seg_w: int = 0, seg_cap: int = 4,
+                                fallback_block: int = 512,
+                                _stats: Optional[dict] = None,
+                                _force_fallback: bool = False
+                                ) -> NeighborTable:
+    """EXACT ε-neighborhoods at any dimension via count-certified selection
+    (see _compute_neighbors_certified_jit): the fast approx-selected panel
+    is kept wherever the per-row certificate PROVES completeness, and only
+    the (typically few) uncertified rows pay the exact full-width sort.
+    Same output contract as compute_neighbors; neighbor sets equal the
+    dense-HIGHEST oracle's whenever neighborhoods fit max_neighbors
+    (tests/test_optics.py), and the count column still reports the bf16
+    gate superset size so the auto-raise path fires on overflow.
+
+    _stats (optional dict) receives {"uncertified": int} for telemetry;
+    _force_fallback routes EVERY row through the fallback (test hook — on
+    XLA:CPU approx_max_k is exact, so the fallback never fires naturally).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    n, d = pts.shape
+    k = min(max_neighbors, n)
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    pts_pad = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    sw = seg_w if (seg_w and n >= 4 * seg_w) else 0
+    idx, dist, cnt, core, cert = _compute_neighbors_certified_jit(
+        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts,
+        recall_target, sw, seg_cap)
+    bad = np.nonzero(~np.asarray(cert))[0] if not _force_fallback \
+        else np.arange(n)
+    if _stats is not None:
+        _stats["uncertified"] = int(bad.size)
+    if bad.size:
+        fb = fallback_block
+        cb = 8192
+        ncb = -(-n // cb)
+        pts_np = np.asarray(pts)
+        for j in range(0, bad.size, fb):
+            rows = bad[j:j + fb]
+            fpts = np.full((fb, d), np.inf, np.float32)
+            fpts[:rows.size] = pts_np[rows]
+            fi, fd, fc, fcore = _certified_fallback_jit(
+                jnp.asarray(fpts), pts, jnp.float32(eps), k, min_pts, cb, ncb)
+            rows_j = jnp.asarray(rows, jnp.int32)
+            take = slice(0, rows.size)
+            idx = idx.at[rows_j].set(fi[take])
+            dist = dist.at[rows_j].set(fd[take])
+            cnt = cnt.at[rows_j].set(fc[take])
+            core = core.at[rows_j].set(fcore[take])
+    return NeighborTable(idx, dist, cnt, core)
+
+
 def compute_neighbors(points: np.ndarray, eps: float, min_pts: int,
                       max_neighbors: int = 256, block: int = 2048,
                       approx: bool = False) -> NeighborTable:
@@ -700,8 +901,11 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
 
     method: "cellpair" = zero-gather shift formulation (fastest at d<=2),
     "grid" = grid-bucketed neighbors (exact full-D grid up to d=4),
-    "dense" = tiled O(N²) distance panels, "auto" = cellpair at
-    d<=2, else grid, else dense — each falling through when it declines.
+    "dense" = tiled O(N²) distance panels, "certified" = count-certified
+    exact selection (compute_neighbors_certified, any d), "auto" =
+    cellpair at d<=2, else grid, else certified — each falling through
+    when it declines (approx=True drops the final fallthrough to the
+    approx dense path).
     full_window=True lets the grid skip nearest-k selection and return
     masked 3^g·B windows (much faster on-device; wider table to transfer —
     see compute_neighbors_grid).
@@ -751,6 +955,15 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
             table = compute_neighbors_2stage(points, epsilon, min_pts,
                                              max_neighbors=max_neighbors,
                                              block=block)
+        if table is None and method in ("auto", "certified") and not approx:
+            # r5: count-certified EXACT selection — the default whenever the
+            # grid declines (d > 4, degenerate grids, over-dense cells).
+            # Replaces the exact-top_k dense path (measured ~8.5 s at
+            # n=100k) with certified approx selection + per-row exact
+            # fallback.
+            table = compute_neighbors_certified(points, epsilon, min_pts,
+                                                max_neighbors=max_neighbors,
+                                                block=block)
         if table is None:
             table = compute_neighbors(points, epsilon, min_pts,
                                       max_neighbors=max_neighbors, block=block,

@@ -386,9 +386,11 @@ def main(argv=None):
     add("sampling", cmd_sampling)
     p = add("optics", cmd_optics)
     p.add_argument("--method", default="auto",
-                   choices=("auto", "cellpair", "grid", "dense", "sharded"),
+                   choices=("auto", "cellpair", "grid", "dense", "certified",
+                            "sharded"),
                    help="neighbor backend (auto: cellpair at d<=2, else "
-                        "grid up to d=4, else dense panels; sharded = dense "
+                        "grid up to d=4, else count-certified exact "
+                        "selection; dense = O(N^2) panels; sharded = dense "
                         "panels row-sharded over all local devices, "
                         "parallel/batch.py)")
     p.add_argument("--max-neighbors", type=int, default=256)

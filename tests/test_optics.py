@@ -566,6 +566,106 @@ def test_two_stage_dense_reachability_end_to_end():
     assert sorted(map(sorted, ca)) == sorted(map(sorted, cb))
 
 
+def test_certified_equals_dense_neighbor_sets():
+    """r5 (VERDICT #1): the count-certified path must reproduce the
+    HIGHEST dense path's neighbor SETS exactly at every dimension — via
+    the certificate (cnt_gate <= k and all gate-passers captured) on the
+    fast path and the exact full-width sort on rejected rows. All four
+    configurations must agree: direct, segment-reduced, forced-fallback,
+    and the oracle."""
+    from evflow_tpu.io.synthetic import uniform_cloud
+    for d, n in ((4, 3000), (6, 3000), (2, 2000)):
+        pts = uniform_cloud(n, d, seed=3)        # coords ~1e3
+        eps = optics.epsilon_estimation(pts, 10)
+        a = optics.compute_neighbors(pts, eps, 10, 128)
+        stats = {}
+        variants = {
+            "direct": optics.compute_neighbors_certified(
+                pts, eps, 10, 128, _stats=stats),
+            "segment": optics.compute_neighbors_certified(
+                pts, eps, 10, 128, seg_w=64),
+            "fallback": optics.compute_neighbors_certified(
+                pts, eps, 10, 128, _force_fallback=True, fallback_block=128),
+        }
+        ia = np.asarray(a.idx)
+        ca = np.asarray(a.count)
+        for name, b in variants.items():
+            ib = np.asarray(b.idx)
+            for i in range(n):
+                assert set(ia[i][ia[i] >= 0]) == set(ib[i][ib[i] >= 0]), \
+                    (name, d, i)
+            cb = np.asarray(b.count)
+            if name == "fallback":
+                assert (cb == ca).all(), (name, d)   # exact counts
+            else:
+                assert (cb >= ca).all(), (name, d)   # gate superset
+            ka, kb = np.asarray(a.core_dist), np.asarray(b.core_dist)
+            fin = np.isfinite(ka)
+            assert (fin == np.isfinite(kb)).all(), (name, d)
+            np.testing.assert_allclose(ka[fin], kb[fin], rtol=1e-3, atol=0.02)
+        assert "uncertified" in stats
+
+
+def test_certified_reachability_end_to_end():
+    """certified through the public sweep (method='certified'): cluster
+    extraction must match the dense method's, and 'auto' at d>4 must now
+    route through the certified (exact) path rather than approx dense."""
+    rng = np.random.default_rng(5)
+    cents = rng.uniform(0, 800, (6, 5))
+    pts = (cents[rng.integers(0, 6, 1500)]
+           + rng.normal(0, 10, (1500, 5))).astype(np.float64)
+    rd_a = optics.compute_reachability_dists(pts, 8, 40.0, method="dense")
+    rd_b = optics.compute_reachability_dists(pts, 8, 40.0, method="certified")
+    rd_c = optics.compute_reachability_dists(pts, 8, 40.0, method="auto")
+    for rd_x in (rd_b, rd_c):
+        da = np.full(len(pts), -2.0); db = np.full(len(pts), -2.0)
+        for r in rd_a:
+            da[r.point_index] = r.reach_dist
+        for r in rd_x:
+            db[r.point_index] = r.reach_dist
+        unreached = da < 0
+        assert (unreached == (db < 0)).all()
+        close = np.isclose(da[~unreached], db[~unreached],
+                           rtol=1e-3, atol=0.05)
+        assert close.mean() >= 0.995, close.mean()
+        ca = optics.get_cluster_indices(rd_a, 20.0)
+        cb = optics.get_cluster_indices(rd_x, 20.0)
+        assert sorted(map(sorted, ca)) == sorted(map(sorted, cb))
+
+
+def test_certified_fallback_overflow_rows():
+    """Rows whose gate superset exceeds k are uncertified; after the exact
+    fallback they must hold the exact nearest-k and the EXACT true count
+    (so auto-raise sizes from truth). Construct a dense clump bigger than k
+    next to sparse points."""
+    rng = np.random.default_rng(7)
+    clump = rng.normal(500.0, 1.0, (60, 2))
+    sparse = rng.uniform(0, 1000, (60, 2))
+    pts = np.concatenate([clump, sparse]).astype(np.float64)
+    eps = 25.0
+    k = 16
+    b = optics.compute_neighbors_certified(pts, eps, 5, max_neighbors=k)
+    ib = np.asarray(b.idx)
+    db = np.asarray(b.dist)
+    cb = np.asarray(b.count)
+    # float64 oracle (the dense panel form carries ~0.03 absolute distance
+    # noise at these coordinate scales — not a valid selection oracle at
+    # the k-boundary of a near-tied clump)
+    d64 = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    within = d64 <= eps
+    c64 = within.sum(1)
+    for i in range(len(pts)):
+        if c64[i] > k:      # overflow row: exact nearest-k, exact count
+            assert cb[i] == c64[i], i
+            kth = np.sort(d64[i][within[i]])[:k]
+            np.testing.assert_allclose(np.sort(db[i]), kth,
+                                       rtol=1e-5, atol=1e-3)
+        else:
+            truth = set(np.nonzero(within[i])[0])
+            assert set(ib[i][ib[i] >= 0]) == truth, i
+    assert (c64 > k).any()  # the scenario actually exercised overflow
+
+
 def test_epsilon_estimation_high_dim_no_overflow():
     """r4b: the direct ε formula overflows float64 at high d (extent^d,
     Γ(d/2+1), and their ratio); the log-space fallback must agree with the
