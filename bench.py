@@ -97,15 +97,23 @@ def measure_agreement(q: int) -> float:
 
 
 def main():
+    import dataclasses
     import evflow_tpu
     evflow_tpu.setup_cache()
     from evflow_tpu.config import DEFAULT
     from evflow_tpu.io import synthetic, slice_by_count
     from evflow_tpu.models import fastcluster, pipeline
 
-    cfg = DEFAULT
     n_slices = 32
-    n = cfg.slicing.n_events
+    n = DEFAULT.slicing.n_events
+    # r5 (VERDICT r4 weak #1 / task #2): the HEADLINE is the PARITY-GRADE
+    # configuration — micro_slices=8, the mode whose pre-NMS corner sets
+    # agree >= 0.9 with the reference's per-event detection semantics
+    # (group_track.cpp:884-1070). The q=1 max-throughput mode is still
+    # measured and reported as secondary fields of the same JSON line.
+    cfg_q8 = dataclasses.replace(
+        DEFAULT, efast=dataclasses.replace(DEFAULT.efast, micro_slices=8))
+    cfg_q1 = DEFAULT
 
     stream = synthetic.moving_blob_stream(
         num_slices=n_slices, events_per_slice=n,
@@ -119,61 +127,61 @@ def main():
     ts = jnp.asarray((slices.t - t0).astype(np.int32))
     vs = jnp.asarray(slices.valid_mask())
 
-    cl_state = fastcluster.init_state(cfg.cluster)
-    co_state = pipeline.init_corner_state(cfg)
+    def measure(cfg):
+        cl_state = fastcluster.init_state(cfg.cluster)
+        co_state = pipeline.init_corner_state(cfg)
 
-    # One fused scan: both pipelines per slice, one dispatch for the sequence.
-    def run(cl_state, co_state, xs, ys, ts, vs):
-        return pipeline.full_scan(cl_state, co_state, xs, ys, ts, vs, cfg)
+        # One fused scan: both pipelines per slice, one dispatch per sequence.
+        def run():
+            return pipeline.full_scan(cl_state, co_state, xs, ys, ts, vs, cfg)
 
-    # compile + warm up, then drain the remote queue with a real readback
-    out = run(cl_state, co_state, xs, ys, ts, vs)
-    jax.block_until_ready(out)
-    np.asarray(out[1][0].unique_count[:1])
+        # compile + warm up, then drain the remote queue with a real readback
+        out = run()
+        jax.block_until_ready(out)
+        np.asarray(out[1][0].unique_count[:1])
 
-    # Chained dispatches with one draining readback: the streaming deployment
-    # pattern (slices arrive continuously, dispatch gaps overlap compute).
-    # Per-rep block_until_ready measures ~5% slower by adding a host sync
-    # between reps; the readback at the end guarantees the queue is empty
-    # (block_until_ready alone can under-report through the axon relay).
-    # r4b: the drain itself is a FIXED ~23.5 ms relay round-trip regardless
-    # of how many dispatches precede it (measured: 1 vs 20 chained 1-op
-    # scans cost the same ~23-26 ms total) — reps=20 amortizes it to
-    # ~0.04 ms/slice so the headline measures device compute, not the
-    # measurement harness.
-    reps = 20
-    start = time.perf_counter()
-    for _ in range(reps):
-        out = run(cl_state, co_state, xs, ys, ts, vs)
-    np.asarray(out[1][0].unique_count[:1])
-    # mean over the chained reps (NOT best-of: round-1 changed the methodology
-    # from best-of-reps to a mean over chained dispatches with one draining
-    # readback; the variable name now says so)
-    mean_step = (time.perf_counter() - start) / reps
+        # Chained dispatches with one draining readback: the streaming
+        # deployment pattern (slices arrive continuously, dispatch gaps
+        # overlap compute). r4b: the drain is a FIXED ~23.5 ms relay
+        # round-trip regardless of how many dispatches precede it — reps=20
+        # amortizes it to ~0.04 ms/slice so the number measures device
+        # compute, not the measurement harness. Mean over chained reps.
+        reps = 20
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = run()
+        np.asarray(out[1][0].unique_count[:1])
+        mean_step = (time.perf_counter() - start) / reps
+        return (n_slices * n) / mean_step
 
-    total_events = n_slices * n
-    events_per_s = total_events / mean_step
+    # both timed regions BEFORE any readback-heavy work (relay degradation
+    # rule, CLAUDE.md); parity-grade first
+    ev_s_q8 = measure(cfg_q8)
+    ev_s_q1 = measure(cfg_q1)
 
-    # fidelity tag: agreement at this config's q, in a CPU-backend subprocess
-    # AFTER the timing window (concurrent host work degrades relay timings)
-    q = cfg.efast.micro_slices
-    try:
-        import os
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        r = subprocess.run([sys.executable, __file__, "--agreement", str(q)],
-                           capture_output=True, text=True, timeout=600,
-                           env=env)
-        agreement = float(r.stdout.strip().splitlines()[-1])
-    except Exception:
-        agreement = -1.0   # never block the headline on the fidelity probe
+    # fidelity tags: agreement at each q, in a CPU-backend subprocess AFTER
+    # the timing windows (concurrent host work degrades relay timings)
+    def agreement_of(q):
+        try:
+            import os
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            r = subprocess.run(
+                [sys.executable, __file__, "--agreement", str(q)],
+                capture_output=True, text=True, timeout=600, env=env)
+            return float(r.stdout.strip().splitlines()[-1])
+        except Exception:
+            return -1.0   # never block the headline on the fidelity probe
 
     print(json.dumps({
-        "metric": "cluster+track pipeline throughput",
-        "value": round(events_per_s, 1),
+        "metric": "cluster+track pipeline throughput (parity-grade q=8)",
+        "value": round(ev_s_q8, 1),
         "unit": "events/s/chip",
-        "vs_baseline": round(events_per_s / BASELINE_EVENTS_PER_S, 2),
-        "micro_slices": q,
-        "agreement": round(agreement, 3),
+        "vs_baseline": round(ev_s_q8 / BASELINE_EVENTS_PER_S, 2),
+        "micro_slices": 8,
+        "agreement": round(agreement_of(8), 3),
+        "q1_value": round(ev_s_q1, 1),
+        "q1_vs_baseline": round(ev_s_q1 / BASELINE_EVENTS_PER_S, 2),
+        "q1_agreement": round(agreement_of(1), 3),
     }))
 
 

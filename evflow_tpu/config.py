@@ -182,6 +182,13 @@ class EFastConfig:
     # window Q-fold (fidelity/throughput knee quantified in
     # benchmarks/corner_fidelity.py; tests/test_event_exact.py).
     micro_slices: int = 1
+    # q>1 snapshot-stack backend (r5): build all q post-sub-slice surfaces
+    # with one (q, H, W) keyed scatter-max + a sub-axis cummax and detect
+    # via the batched stacked detector, instead of q serially-dependent
+    # scatter+detect dispatches. Bit-equal to the serial path; measured
+    # faster (the serial sub-scatter chain was the entire q=8 overhead).
+    # False restores the r3-r4 serial chain for A/B.
+    micro_stack: bool = True
     # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
     group_track_axis_order: bool = True
     # Detection backend for the slice-sync step: True = dense per-band stencil

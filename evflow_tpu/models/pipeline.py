@@ -438,6 +438,45 @@ def corner_track_step(
         nsub = x.shape[0] // q
         m_sub = max(m // q, 64)
 
+        if cfg.efast.micro_stack and not cfg.efast.micro_dense:
+            # r5 (VERDICT r4 task #2): snapshot-STACK micro-slices. The q
+            # post-sub-slice surfaces come from ONE (q, H, W) scatter-max
+            # keyed by (sub, y, x) plus a cummax over the sub axis — the
+            # r3-r4 path's q SERIALLY-DEPENDENT scatter dispatches (8 x
+            # ~0.13 ms was the entire q=8 overhead, CLAUDE r4b) collapse
+            # into one scatter and one O(q·H·W) max chain with no
+            # dispatch-to-dispatch dependency. Candidate selection is the
+            # same two-sort representative compaction vmapped over subs;
+            # detection is the bit-identical stacked detector (one gather +
+            # one streak chain for all q·m_sub candidates — r4's negative
+            # result for it came from materializing snapshots through the
+            # serial scan, which no longer exists). Bit-equal to the serial
+            # micro path (tests/test_event_exact.py::test_micro_stack_*).
+            h, w = state.sae.shape
+            xr = x.reshape(q, nsub)
+            yr = y.reshape(q, nsub)
+            tr = t.reshape(q, nsub)
+            vr = valid.reshape(q, nsub)
+            sub_ids = jnp.broadcast_to(
+                jnp.arange(q, dtype=jnp.int32)[:, None], (q, nsub))
+            tval = jnp.where(vr, tr.astype(state.sae.dtype),
+                             jnp.iinfo(state.sae.dtype).min)
+            planes = jnp.zeros((q, h, w), state.sae.dtype).at[
+                jnp.where(vr, sub_ids, q), yr, xr].max(tval, mode="drop")
+            stack = jnp.maximum(
+                jax.lax.associative_scan(jnp.maximum, planes, axis=0),
+                state.sae[None])
+            new_sae = stack[q - 1]
+            cxs, cys, cvs, drops = jax.vmap(
+                lambda sx, sy, st_, sv: _representative_candidates(
+                    None, sx, sy, st_, sv, m_sub, cfg))(xr, yr, tr, vr)
+            masks = efast.detect_corners_stacked(stack, cxs, cys, cvs,
+                                                 cfg.efast, cfg.sensor)
+            corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
+            return _corners_to_tracks(corner_mask, cxs.reshape(-1),
+                                      cys.reshape(-1), state, new_sae, cfg,
+                                      n_dropped=jnp.sum(drops))
+
         if cfg.efast.micro_dense:
             # opt-in (r4, measured loss — see EFastConfig.micro_dense):
             # per-sub-slice band-predicated dense stencil

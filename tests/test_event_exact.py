@@ -203,6 +203,43 @@ def test_candidate_overflow_signal_and_tie_break():
     assert int(out3.num_dropped) == 0
 
 
+def test_micro_stack_bit_equals_serial_micro_path():
+    """r5: the snapshot-stack micro-slice backend (one keyed scatter +
+    sub-axis cummax + stacked detection) must be BIT-EQUAL to the r3-r4
+    serial sub-scatter chain — every CornerTrackOutput field, every slice,
+    including partially-invalid slices."""
+    import dataclasses
+    for q in (4, 8):
+        cfgs = {
+            flag: dataclasses.replace(
+                CFG, efast=dataclasses.replace(
+                    CFG.efast, micro_slices=q, max_candidates=1024,
+                    micro_stack=flag))
+            for flag in (True, False)
+        }
+        states = {f: pipeline.init_corner_state(c) for f, c in cfgs.items()}
+        cx, cy = 50, 50
+        for s in range(5):
+            x, y, t = _wedge_slice(cx, cy, 1000 * (s + 1), seed=s)
+            v = np.ones(len(x), bool)
+            if s == 3:
+                v[700:] = False        # partially-invalid slice
+            outs = {}
+            for f in (True, False):
+                states[f], outs[f] = pipeline.corner_track_step(
+                    states[f], jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(t), jnp.asarray(v), cfgs[f])
+            np.testing.assert_array_equal(np.asarray(states[True].sae),
+                                          np.asarray(states[False].sae))
+            la = jax.tree_util.tree_leaves_with_path(outs[True])
+            lb = jax.tree_util.tree_leaves(outs[False])
+            for (path, a), b in zip(la, lb):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"q={q} slice={s} leaf={path}")
+            cx += 6
+
+
 def test_micro_slice_fidelity_improves_on_slice_sync():
     """VERDICT r2 item 3: micro-slice mode (q sub-scatters with detection per
     sub-slice) must close the gap between the slice-sync detector and the
