@@ -235,112 +235,154 @@ def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
     return NeighborTable(idx, dist, cnt, core)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
-                                             "min_pts", "recall",
-                                             "seg_w", "seg_cap"))
-def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
-                                     min_pts, recall, seg_w, seg_cap):
-    """Count-CERTIFIED exact selection (r5, VERDICT r4 task #1).
+def _certified_gate(rows, pts_c, q2, qn, eps):
+    """Centered Precision.HIGH gate panel + exact superset count.
 
-    Same centered bf16 gate panel as `_compute_neighbors_2stage_jit` (the
-    error-inflated gate admits a proven superset of the true ε-neighbors),
-    but the per-row candidate selection is *certified*: the gate count
-    cnt_gate is exact (a mask sum), the selected slots are finite iff they
-    hold a gate-passer, so
+    HIGH lowers to the 3-pass bf16 scheme on TPU (hi·hi + hi·lo + lo·hi):
+    the dropped lo·lo term is <= 2^-16·|r||q| and the f32 accumulation's
+    random-walk rounding over n terms ~ sqrt(n)·2^-24·|r||q| ~ 2^-15·|r||q|
+    at n=100k, so the gate margin 2^-10·|r||q| keeps a >= 32x safety factor
+    while inflating the superset only a few percent (the r4 bf16 1-pass
+    gate's 2^-5 margin inflated d=4 supersets ~10x — 70% of rows overflowed
+    k=64, measured benchmarks/prof_certified.py)."""
+    r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+    cross = jax.lax.dot_general(rows, pts_c.T, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGH)
+    d2b = r2 + q2 - 2.0 * cross
+    err = jnp.float32(2.0 ** -10) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
+    keep = d2b <= eps * eps + err
+    cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return jnp.where(keep, d2b, jnp.inf), cnt
+
+
+def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
+                             recall, col_map=None):
+    """approx_max_k selection + certificate + exact diff-form refine on one
+    (B, N) masked gate panel. col_map maps selected column positions back
+    to original point indices (None = identity)."""
+    n = pts_c.shape[0]
+    neg, idx = jax.lax.approx_max_k(-masked, k, recall_target=recall)
+    captured = jnp.sum(jnp.isfinite(-neg), axis=1).astype(jnp.int32)
+    cert = (cnt <= k) & (captured == cnt)
+    if col_map is not None:
+        idx = col_map(idx)
+    idx = jnp.clip(idx, 0, n - 1)
+    cand = pts_c[idx]                                  # (B, k, d)
+    d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
+    d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
+    dx = jnp.sqrt(d2x)
+    dx = jnp.where(dx <= eps, dx, jnp.inf)
+    order = jnp.argsort(dx, axis=1)
+    dx = jnp.take_along_axis(dx, order, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    idx = jnp.where(jnp.isfinite(dx), idx, -1)
+    cnt_true = jnp.sum(jnp.isfinite(dx), axis=1).astype(jnp.int32)
+    if min_pts <= k:
+        core = dx[:, min_pts - 1]
+    else:
+        core = jnp.full((dx.shape[0],), jnp.inf, jnp.float32)
+    core = jnp.where(cnt_true >= min_pts, core, jnp.inf)
+    return idx, dx, cnt, core, cert
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
+                                             "min_pts", "recall"))
+def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
+                                     min_pts, recall):
+    """Count-CERTIFIED exact selection, full pass (r5, VERDICT r4 task #1).
+
+    Centered HIGH-precision gate panel (see _certified_gate — a proven
+    superset of the true ε-neighbors), approx_max_k selection, and a
+    per-row *certificate*: the gate count cnt_gate is exact (a mask sum),
+    selected slots are finite iff they hold a gate-passer, so
 
         certified[row] = (cnt_gate <= k) and (#finite selected == cnt_gate)
 
     proves the row captured its ENTIRE gate superset — and therefore, after
     the exact diff-form refine at the true eps, its exact ε-neighborhood.
-    Rows that fail (approx_max_k reduction collisions, or gate overflow
-    past k) are returned flagged; the host wrapper re-runs only those
-    through `_certified_fallback_jit` (full-width exact sort selection).
+    Rows that fail (approx_max_k reduction-bucket collisions ~20% of rows
+    at the benchmark densities, or gate overflow past k) are flagged; the
+    host wrapper re-selects only those via bit-reversal-rotated rounds
+    (_certified_round_jit) and a final exact sort (_certified_fallback_jit).
 
-    seg_w > 0 interposes a per-segment top-`seg_cap` reduction before
-    approx_max_k: the (B, N) masked panel is reshaped to (B, S, seg_w)
-    segments, the seg_cap smallest entries of each segment are peeled by
-    repeated min/argmin/mask-out passes, and approx_max_k runs on the
-    (B, seg_cap*S) candidate panel instead of the full width. Any passer
-    beyond seg_cap in one segment is lost — and then #finite < cnt_gate, so
-    the certificate catches it; with ~tens of passers spread over thousands
-    of segments, P(>seg_cap in one segment) is vanishing. This trades VPU
-    min-passes for approx_max_k width.
-    """
+    NEGATIVE RESULT (r5, benchmarks/prof_certified.py P4): a per-segment
+    top-C min/argmin pre-reduction before approx_max_k measured 600 ms —
+    4x WORSE than selecting on the full-width panel (approx_max_k cost is
+    dominated by its reduction structure, not row width; the min-peel
+    passes forced panel rematerialization). Removed."""
     n, d = pts.shape
     c = jnp.mean(pts, axis=0)
     pts_c = pts - c
     q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
     qn = jnp.sqrt(jnp.maximum(q2, 0.0))
-    if seg_w:
-        nseg = -(-n // seg_w)
-        wpad = nseg * seg_w - n
 
     def body(i, acc):
-        ia, da, ca, fa, cert_a = acc
+        ia, da, ca, ka, cert_a = acc
         rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0) - c
-        r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
-        cross = jnp.dot(rows.astype(jnp.bfloat16),
-                        pts_c.T.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-        d2b = r2 + q2 - 2.0 * cross
-        err = jnp.float32(2.0 ** -5) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
-        keep = d2b <= eps * eps + err
-        cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
-        masked = jnp.where(keep, d2b, jnp.inf)
-        if seg_w:
-            seg = jnp.pad(masked, ((0, 0), (0, wpad)),
-                          constant_values=jnp.inf).reshape(block, nseg, seg_w)
-            vals, cols = [], []
-            cur = seg
-            col_iota = jnp.arange(seg_w, dtype=jnp.int32)[None, None, :]
-            for _ in range(seg_cap):
-                a1 = jnp.argmin(cur, axis=2)
-                vals.append(jnp.min(cur, axis=2))
-                cols.append(a1.astype(jnp.int32))
-                cur = jnp.where(col_iota == a1[..., None], jnp.inf, cur)
-            candv = jnp.stack(vals, axis=2).reshape(block, nseg * seg_cap)
-            candc = (jnp.stack(cols, axis=2)
-                     + (jnp.arange(nseg, dtype=jnp.int32)
-                        * seg_w)[None, :, None]).reshape(block,
-                                                         nseg * seg_cap)
-            neg, sel = jax.lax.approx_max_k(-candv, k, recall_target=recall)
-            idx = jnp.take_along_axis(candc, sel, axis=1)
-        else:
-            neg, idx = jax.lax.approx_max_k(-masked, k, recall_target=recall)
-        captured = jnp.sum(jnp.isfinite(-neg), axis=1).astype(jnp.int32)
-        cert = (cnt <= k) & (captured == cnt)
-        # exact diff-form refine of the selected candidates at the true eps
-        idx = jnp.clip(idx, 0, n - 1)
-        cand = pts_c[idx]                                  # (B, k, d)
-        d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
-        d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
-        dx = jnp.sqrt(d2x)
-        dx = jnp.where(dx <= eps, dx, jnp.inf)
-        order = jnp.argsort(dx, axis=1)
-        dx = jnp.take_along_axis(dx, order, axis=1)
-        idx = jnp.take_along_axis(idx, order, axis=1)
-        idx = jnp.where(jnp.isfinite(dx), idx, -1)
+        masked, cnt = _certified_gate(rows, pts_c, q2, qn, eps)
+        idx, dx, cnt, core, cert = _certified_select_refine(
+            masked, cnt, rows, pts_c, eps, k, min_pts, recall)
         return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(da, dx, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(ca, cnt, i * block, 0),
-                fa,
+                jax.lax.dynamic_update_slice_in_dim(ka, core, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(cert_a, cert,
                                                     i * block, 0))
 
     init = (jnp.zeros((nblocks * block, k), jnp.int32),
             jnp.full((nblocks * block, k), jnp.inf, jnp.float32),
             jnp.zeros((nblocks * block,), jnp.int32),
-            jnp.zeros((), jnp.int32),
+            jnp.full((nblocks * block,), jnp.inf, jnp.float32),
             jnp.zeros((nblocks * block,), bool))
-    idx, dist, cnt, _, cert = jax.lax.fori_loop(0, nblocks, body, init)
-    idx, dist, cnt, cert = idx[:n], dist[:n], cnt[:n], cert[:n]
-    cnt_true = jnp.sum(jnp.isfinite(dist), axis=1).astype(jnp.int32)
-    if min_pts <= k:
-        core = dist[:, min_pts - 1]
-    else:
-        core = jnp.full((n,), jnp.inf, jnp.float32)
-    core = jnp.where(cnt_true >= min_pts, core, jnp.inf)
-    return idx, dist, cnt, core, cert
+    idx, dist, cnt, core, cert = jax.lax.fori_loop(0, nblocks, body, init)
+    idx, dist, cnt, core, cert = (idx[:n], dist[:n], cnt[:n], core[:n],
+                                  cert[:n])
+    # device-compacted uncertified row list: the host needs only (nbad,
+    # rows, their counts) — reading the full (n,) cert/count vectors through
+    # this rig's <1 MB/s relay would cost more than the whole computation
+    lane = jnp.arange(n, dtype=jnp.int32)
+    bad_rows = jax.lax.sort((jnp.where(cert, n, lane),), num_keys=1)[0]
+    nbad = jnp.sum((~cert).astype(jnp.int32))
+    bad_cnt = cnt[jnp.clip(bad_rows, 0, n - 1)]
+    return idx, dist, cnt, core, bad_rows, bad_cnt, nbad
+
+
+def _bitrev_xor(i, bits, xmask):
+    """Bit-reversal (+ XOR) permutation of [0, 2^bits) — an in-register
+    bijection that destroys the index locality approx_max_k's reduction
+    buckets are built on, so a re-selection round under it has
+    independently-placed bucket collisions."""
+    r = jnp.zeros_like(i)
+    for b in range(bits):
+        r = r | (((i >> b) & 1) << (bits - 1 - b))
+    return r ^ xmask
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _certified_permute_jit(pts_pow, bits, xmask):
+    perm = _bitrev_xor(jnp.arange(pts_pow.shape[0], dtype=jnp.int32),
+                       bits, xmask)
+    return pts_pow[perm]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_pts", "recall",
+                                             "bits"))
+def _certified_round_jit(fpts, pts_c, pts_perm, eps, k, min_pts, recall,
+                         bits, xmask):
+    """One rotated re-selection round over a block of previously-uncertified
+    rows: the same gate + approx_max_k + certificate, but against the
+    bit-reversal-permuted point order (pts_perm, from
+    _certified_permute_jit), so each round's reduction-bucket collisions
+    are independent — row failure probability decays geometrically
+    (~0.2^rounds, measured base rate benchmarks/prof_certified.py P1).
+    fpts is already centered; selected columns map back to original
+    indices in-register via the same bit-reversal expression."""
+    q2p = jnp.sum(pts_perm * pts_perm, axis=1)[None, :]
+    qnp_ = jnp.sqrt(jnp.maximum(q2p, 0.0))
+    masked, cnt = _certified_gate(fpts, pts_perm, q2p, qnp_, eps)
+    return _certified_select_refine(
+        masked, cnt, fpts, pts_c, eps, k, min_pts, recall,
+        col_map=lambda idx: _bitrev_xor(idx, bits, xmask))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "min_pts", "cb", "ncb"))
@@ -384,23 +426,34 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 max_neighbors: int = 256,
                                 block: int = 2048,
                                 recall_target: float = 0.95,
-                                seg_w: int = 0, seg_cap: int = 4,
-                                fallback_block: int = 512,
+                                rounds: int = 4,
+                                round_block: int = 2048,
+                                sort_block: int = 64,
                                 _stats: Optional[dict] = None,
-                                _force_fallback: bool = False
+                                _force_fallback: bool = False,
+                                _force_retry: bool = False
                                 ) -> NeighborTable:
-    """EXACT ε-neighborhoods at any dimension via count-certified selection
-    (see _compute_neighbors_certified_jit): the fast approx-selected panel
-    is kept wherever the per-row certificate PROVES completeness, and only
-    the (typically few) uncertified rows pay the exact full-width sort.
+    """EXACT ε-neighborhoods at any dimension via count-certified selection:
+
+      1. full pass (_compute_neighbors_certified_jit): HIGH-precision gate
+         panel + approx_max_k; the per-row certificate PROVES completeness
+         for ~80% of rows at benchmark densities (prof_certified.py P1);
+      2. up to `rounds` rotated re-selection rounds on the still-failing
+         rows (_certified_round_jit, bit-reversal column permutations —
+         each ~3 ms/2048-row block, failure decays ~0.2^round);
+      3. an exact full-width variadic sort for the stragglers and for
+         genuine gate-overflow rows (cnt > k, which no selection can
+         certify), in small blocks (_certified_fallback_jit).
+
     Same output contract as compute_neighbors; neighbor sets equal the
     dense-HIGHEST oracle's whenever neighborhoods fit max_neighbors
-    (tests/test_optics.py), and the count column still reports the bf16
-    gate superset size so the auto-raise path fires on overflow.
+    (tests/test_optics.py), and the count column reports the (tight) gate
+    superset size so the auto-raise path fires on overflow.
 
-    _stats (optional dict) receives {"uncertified": int} for telemetry;
-    _force_fallback routes EVERY row through the fallback (test hook — on
-    XLA:CPU approx_max_k is exact, so the fallback never fires naturally).
+    _stats (optional dict) receives {"uncertified": int, "sorted": int}
+    telemetry; _force_fallback routes EVERY row through the exact sort
+    (test hook — on XLA:CPU approx_max_k is exact, so fallbacks never fire
+    naturally).
     """
     pts = jnp.asarray(points, jnp.float32)
     n, d = pts.shape
@@ -408,31 +461,96 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
     nblocks = -(-n // block)
     pad = nblocks * block - n
     pts_pad = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=jnp.inf)
-    sw = seg_w if (seg_w and n >= 4 * seg_w) else 0
-    idx, dist, cnt, core, cert = _compute_neighbors_certified_jit(
-        pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts,
-        recall_target, sw, seg_cap)
-    bad = np.nonzero(~np.asarray(cert))[0] if not _force_fallback \
-        else np.arange(n)
+    idx, dist, cnt, core, bad_rows, bad_cnt, nbad_d = \
+        _compute_neighbors_certified_jit(
+            pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts,
+            recall_target)
+    # TWO small readbacks: the scalar count, then exactly (2, nbad) int32 —
+    # never the (n,) vectors (relay rule, CLAUDE.md)
+    nbad = int(np.asarray(nbad_d))
+    if nbad:
+        bc = np.asarray(jnp.stack([bad_rows[:nbad], bad_cnt[:nbad]]))
+        bad, bad_counts = bc[0], bc[1]
+    else:
+        bad = bad_counts = np.zeros((0,), np.int32)
+    if _force_fallback or _force_retry:
+        # test hooks: exercise the fallback paths on every row (XLA:CPU
+        # approx_max_k is exact, so they never fire naturally there)
+        bad = np.arange(n)
+        bad_counts = np.asarray(cnt)
     if _stats is not None:
         _stats["uncertified"] = int(bad.size)
+
+    def patch(rows, fi, fd, fc, fcore):
+        nonlocal idx, dist, cnt, core
+        rows_j = jnp.asarray(rows, jnp.int32)
+        take = slice(0, rows.size)
+        idx = idx.at[rows_j].set(fi[take])
+        dist = dist.at[rows_j].set(fd[take])
+        cnt = cnt.at[rows_j].set(fc[take])
+        core = core.at[rows_j].set(fcore[take])
+
+    if bad.size and not _force_fallback:
+        # overflow rows can never certify — route them straight to the sort
+        over = bad[bad_counts > k]
+        retry = bad[bad_counts <= k]
+        c_np = np.asarray(pts, np.float64).mean(axis=0).astype(np.float32)
+        pts_np = np.asarray(pts)
+        bits = max((n - 1).bit_length(), 1)
+        npow = 1 << bits
+        pts_c_pow = jnp.pad(pts - c_np[None, :], ((0, npow - n), (0, 0)),
+                            constant_values=jnp.inf)
+        pts_c = pts - c_np[None, :]
+        for r in range(rounds):
+            if retry.size == 0:
+                break
+            xmask = ((0x5A5A5A5A >> max(32 - bits, 0)) ^ (r * 0x1D951)) \
+                & (npow - 1)
+            xmask_d = jnp.int32(xmask)
+            pts_perm = _certified_permute_jit(pts_c_pow, bits, xmask_d)
+            results = []
+            for j in range(0, retry.size, round_block):
+                rows = retry[j:j + round_block]
+                # pad every block to round_block: ONE compiled round shape
+                # (remote-TPU compiles cost minutes; a few ms of padded
+                # panel compute per round is nothing)
+                fpts = np.full((round_block, d), np.inf, np.float32)
+                fpts[:rows.size] = pts_np[rows] - c_np[None, :]
+                results.append((rows, _certified_round_jit(
+                    jnp.asarray(fpts), pts_c, pts_perm, jnp.float32(eps),
+                    k, min_pts, recall_target, bits, xmask_d)))
+            # ONE certificate readback for the whole round (all blocks were
+            # enqueued above and run back-to-back on device)
+            ok_all = np.asarray(jnp.concatenate(
+                [fcert[:rows.size] for rows, (_, _, _, _, fcert) in results]))
+            pos = 0
+            still = []
+            for rows, (fi, fd, fc, fcore, _) in results:
+                ok = ok_all[pos:pos + rows.size]
+                pos += rows.size
+                okr = rows[ok]
+                if okr.size:
+                    sel = jnp.asarray(np.nonzero(ok)[0], jnp.int32)
+                    patch(okr, fi[sel], fd[sel], fc[sel], fcore[sel])
+                still.append(rows[~ok])
+            retry = np.concatenate(still) if still else retry[:0]
+        bad = np.concatenate([over, retry])
+        if _stats is not None:
+            _stats["sorted"] = int(bad.size)
+    elif _stats is not None:
+        _stats["sorted"] = int(bad.size)
+
     if bad.size:
-        fb = fallback_block
         cb = 8192
         ncb = -(-n // cb)
         pts_np = np.asarray(pts)
-        for j in range(0, bad.size, fb):
-            rows = bad[j:j + fb]
-            fpts = np.full((fb, d), np.inf, np.float32)
+        for j in range(0, bad.size, sort_block):
+            rows = bad[j:j + sort_block]
+            fpts = np.full((sort_block, d), np.inf, np.float32)
             fpts[:rows.size] = pts_np[rows]
             fi, fd, fc, fcore = _certified_fallback_jit(
                 jnp.asarray(fpts), pts, jnp.float32(eps), k, min_pts, cb, ncb)
-            rows_j = jnp.asarray(rows, jnp.int32)
-            take = slice(0, rows.size)
-            idx = idx.at[rows_j].set(fi[take])
-            dist = dist.at[rows_j].set(fd[take])
-            cnt = cnt.at[rows_j].set(fc[take])
-            core = core.at[rows_j].set(fcore[take])
+            patch(rows, fi, fd, fc, fcore)
     return NeighborTable(idx, dist, cnt, core)
 
 

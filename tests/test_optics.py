@@ -582,10 +582,10 @@ def test_certified_equals_dense_neighbor_sets():
         variants = {
             "direct": optics.compute_neighbors_certified(
                 pts, eps, 10, 128, _stats=stats),
-            "segment": optics.compute_neighbors_certified(
-                pts, eps, 10, 128, seg_w=64),
+            "rounds": optics.compute_neighbors_certified(
+                pts, eps, 10, 128, _force_retry=True, round_block=512),
             "fallback": optics.compute_neighbors_certified(
-                pts, eps, 10, 128, _force_fallback=True, fallback_block=128),
+                pts, eps, 10, 128, _force_fallback=True, sort_block=128),
         }
         ia = np.asarray(a.idx)
         ca = np.asarray(a.count)
