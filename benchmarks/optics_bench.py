@@ -21,8 +21,12 @@ from evflow_tpu.models import optics
 
 def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
                laps: int = 10, max_neighbors: int = 64):
-    """(dense_best, grid_best) seconds for the ε-neighborhood + core-dist
-    precompute — the part the reference spends its kd-tree time on.
+    """(best_exact, approx_dense, per-path dict) seconds for the
+    ε-neighborhood + core-dist precompute — the part the reference spends
+    its kd-tree time on. best_exact covers only EXACT backends (r5: the
+    count-certified path makes exact available at every dimension —
+    VERDICT r4 task #1); the approx dense lap is kept for reference,
+    clearly labeled.
 
     Device laps MUST run before any e2e readback: a large device_get through
     this rig's relay leaves it degraded for tens of seconds and poisons
@@ -32,9 +36,6 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     pts = uniform_cloud(n_points, dim, volume, seed=1)
     eps = optics.epsilon_estimation(pts, min_pts)
     import numpy as _np
-    # warm-up lap compiles the neighbor kernel for this shape
-    optics.compute_neighbors(pts, eps, min_pts, max_neighbors=max_neighbors,
-                             approx=True)
     # Each lap ends with a 1-element readback: block_until_ready alone can
     # return before the remote queue drains on this rig (measured 1 ms for a
     # 200+ ms computation), so only a real device->host roundtrip gives an
@@ -43,36 +44,45 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     # the reference harness's amortized loop (benchmark.cpp:62-103 times
     # `laps` runs and divides) — the drain itself is a FIXED ~23.5 ms relay
     # round-trip (see prof_inscan.py), so per-lap readbacks were charging
-    # each lap a constant that the reference's loop never pays.
+    # each lap a constant that the reference's loop never pays. The
+    # certified path's internal compacted-row readbacks/retry rounds are
+    # part of its algorithm and stay inside each lap.
     def _timed_laps(fn):
+        fn()                     # warm-up lap compiles this shape
         t0 = time.perf_counter()
         for _ in range(laps):
             table = fn()
         _np.asarray(table.count[:1])
         return (time.perf_counter() - t0) / laps
 
-    dense_mean = _timed_laps(lambda: optics.compute_neighbors(
+    paths = {}
+    paths["dense_approx"] = _timed_laps(lambda: optics.compute_neighbors(
         pts, eps, min_pts, max_neighbors=max_neighbors, approx=True))
-    # grid-bucketed path (None when it does not apply, e.g. dim > 3)
-    grid_best = None
+    # count-certified EXACT selection — applies at any dimension
+    if min_pts <= max_neighbors:
+        paths["certified"] = _timed_laps(
+            lambda: optics.compute_neighbors_certified(
+                pts, eps, min_pts, max_neighbors=max_neighbors))
+    # grid-bucketed path (exact; None when it does not apply)
     # full-window first (r3: skipping per-row selection is the big win —
     # top_k(64) alone costs ~350 ms on (100k, 432) rows), then the capped
-    # select variant; grid_best keeps the faster
-    for kw in ({"full_window": True}, {}):
+    # select variant
+    for name, kw in (("grid_fw", {"full_window": True}), ("grid", {})):
         if optics.compute_neighbors_grid(pts, eps, min_pts,
                                          max_neighbors=max_neighbors,
                                          **kw) is None:
             continue
-        gt = _timed_laps(lambda: optics.compute_neighbors_grid(
+        paths[name] = _timed_laps(lambda: optics.compute_neighbors_grid(
             pts, eps, min_pts, max_neighbors=max_neighbors, **kw))
-        grid_best = min(grid_best, gt) if grid_best else gt
     # zero-gather cell-pair shift path (the auto choice at d <= 2)
     if dim <= 2 and optics.compute_neighbors_cellpair(
             pts, eps, min_pts, max_neighbors=max_neighbors) is not None:
-        ct = _timed_laps(lambda: optics.compute_neighbors_cellpair(
-            pts, eps, min_pts, max_neighbors=max_neighbors))
-        grid_best = min(grid_best, ct) if grid_best else ct
-    return dense_mean, grid_best
+        paths["cellpair"] = _timed_laps(
+            lambda: optics.compute_neighbors_cellpair(
+                pts, eps, min_pts, max_neighbors=max_neighbors))
+    exact_paths = {k: v for k, v in paths.items() if k != "dense_approx"}
+    best_exact = min(exact_paths.values()) if exact_paths else None
+    return best_exact, paths["dense_approx"], paths
 
 
 def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
@@ -118,24 +128,28 @@ def main():
     # device measurements for every config FIRST (see run_device docstring),
     # e2e (readback-bound on this rig) afterwards
     for dim, n, mp in grid:
-        dev, grid_t = run_device(n, dim, mp)
+        best_exact, dense_approx, paths = run_device(n, dim, mp)
         ref = REF.get((dim, n))
-        best = min(dev, grid_t) if grid_t else dev
-        speedup = f"  ({ref/best:.0f}x vs reference kd-tree)" if ref else ""
-        gtxt = f" grid={grid_t*1e3:.2f} ms" if grid_t else ""
-        print(f"d={dim} n={n} min_pts={mp}: dense={dev*1e3:.2f} ms "
-              f"(approx_max_k selection, ~0.95 recall — r4: exact top_k "
-              f"selection on these widths measures ~8.5 s; "
-              f"prof_optics_dense2.py){gtxt}"
-              f"{speedup}", flush=True)
-        rows.append((dim, n, 1000.0, mp, best))
+        # the recorded row is the best EXACT backend (r5); approx numbers
+        # are printed for information only and never enter the CSV
+        best = best_exact if best_exact is not None else dense_approx
+        is_exact = best_exact is not None
+        ptxt = " ".join(f"{k}={v*1e3:.2f}" for k, v in sorted(paths.items()))
+        speedup = f"  ({ref/best:.1f}x vs reference kd-tree)" if ref else ""
+        print(f"d={dim} n={n} min_pts={mp}: best_exact="
+              f"{(best_exact*1e3 if best_exact else float('nan')):.2f} ms "
+              f"[{ptxt} ms]{speedup}", flush=True)
+        rows.append((dim, n, 1000.0, mp, best, int(is_exact)))
     for dim, n, mp in grid:
         e2e = run_e2e(n, dim, mp)
         print(f"d={dim} n={n} min_pts={mp}: e2e={e2e*1e3:.1f} ms "
               f"(readback-bound on this rig)", flush=True)
 
+    # reference schema (benchmark.cpp:109-226) + an `exact` column: 1 = the
+    # timed backend returns provably-exact neighbor sets (VERDICT r4 weak
+    # #5 — the r4 file silently mixed exact and approx-recall rows)
     with open(args.out, "w") as f:
-        f.write("dimension;n_points;volume;min_clustersize;time\n")
+        f.write("dimension;n_points;volume;min_clustersize;time;exact\n")
         for r in rows:
             f.write(";".join(str(v) for v in r) + "\n")
 

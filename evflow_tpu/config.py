@@ -108,6 +108,11 @@ class ClusterConfig:
     # Used when kappa == 0 and the backend is TPU; the CPU backend keeps
     # the XLA scan (interpret-mode Pallas is slower there, results equal).
     exact_pallas: bool = True
+    # r5: force the Pallas exact engine even off-TPU, via Mosaic interpret
+    # mode. Slow — for TESTS that must exercise the Pallas path's program
+    # (e.g. the temporal-window bit-parity test on the virtual CPU mesh,
+    # VERDICT r4 task #4), not for production CPU runs.
+    exact_pallas_interpret: bool = False
     # r4b: compute the fast path's per-slice EWMA ranks and cluster
     # aggregates with one-hot panel matmuls (blocked lower-triangular cumsum
     # on the MXU + one (C, N) @ (N, 5) aggregate matmul) instead of the

@@ -220,12 +220,17 @@ def cluster_flow_step_exact(
             state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster,
             cfg.cluster.exact_block)
     elif (cfg.cluster.exact_pallas and cfg.cluster.kappa == 0
-          and jax.default_backend() == "tpu"):
+          and (jax.default_backend() == "tpu"
+               or cfg.cluster.exact_pallas_interpret)):
         # r4: single-Mosaic-program engine — 13x the per-event scan
-        # (bit-equal on every state field; models/aeclustering_pallas.py)
+        # (bit-equal on every state field; models/aeclustering_pallas.py).
+        # r5: exact_pallas_interpret runs the same program via Mosaic
+        # interpret mode off-TPU, so mesh-context tests (temporal windows on
+        # the virtual CPU mesh) exercise the Pallas path itself.
         from . import aeclustering_pallas
         state = aeclustering_pallas.update_slice_pallas(
-            state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)
+            state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster,
+            interpret=(jax.default_backend() != "tpu"))
     else:
         state = aeclustering.update_slice(
             state, ux, uy, tt, jnp.zeros_like(ux), uvalid, cfg.cluster)

@@ -109,11 +109,11 @@ def filter_corners(
     acc, count = accept_corners(x, y, valid, cfg,
                                 immune_x=immune_x, immune_y=immune_y,
                                 immune_valid=immune_valid)
-    pos = jnp.cumsum(acc.astype(jnp.int32)) - 1
-    scatter_pos = jnp.where(acc, pos, c - 1)
-    ox = jnp.zeros((c,), jnp.int32).at[scatter_pos].set(jnp.where(acc, xf, 0), mode="drop")
-    oy = jnp.zeros((c,), jnp.int32).at[scatter_pos].set(jnp.where(acc, yf, 0), mode="drop")
+    # r5: sort-based stream-order output compaction (the r4b idiom) in
+    # place of cumsum + two drop-scatters
     lane = jnp.arange(c, dtype=jnp.int32)
+    key = jnp.where(acc, lane, jnp.int32(c))
+    _, ox, oy = jax.lax.sort((key, xf, yf), num_keys=1)
     live = lane < count
     ox = jnp.where(live, ox, 0)
     oy = jnp.where(live, oy, 0)

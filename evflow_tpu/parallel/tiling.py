@@ -262,32 +262,36 @@ def corner_tile_body(sl, tracks, slice_idx, xl, yl, tl, vl,
         cfg.efast, slab_sensor)
     n_local = jnp.sum(corner_mask.astype(jnp.int32))
 
-    # compact local corners (global coords) and all-gather
+    # compact local corners (global coords) and all-gather — r5: sort-based
+    # stream-order compaction (key, payloads) + static slice, the r4b
+    # single-device idiom (~10x cheaper than cumsum + drop-scatters on TPU)
     cap = cfg.nms.max_corners
-    pos = jnp.cumsum(corner_mask.astype(jnp.int32)) - 1
-    keep = corner_mask & (pos < cap)
-    spos = jnp.where(keep, pos, cap)
-    cx = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
-        jnp.where(keep, xl, 0), mode="drop")[:cap]
-    cy = jnp.zeros((cap + 1,), jnp.int32).at[spos].set(
-        jnp.where(keep, yl, 0), mode="drop")[:cap]
+    nlanes = xl.shape[0]
+    ckey = jnp.where(corner_mask, jnp.arange(nlanes, dtype=jnp.int32),
+                     jnp.int32(nlanes))
+    _, sx_, sy_ = jax.lax.sort((ckey, xl, yl), num_keys=1)
+    if cap > nlanes:
+        sx_ = jnp.pad(sx_, (0, cap - nlanes))
+        sy_ = jnp.pad(sy_, (0, cap - nlanes))
     cvalid = jnp.arange(cap) < jnp.minimum(n_local, cap)
+    cx = jnp.where(cvalid, sx_[:cap], 0)
+    cy = jnp.where(cvalid, sy_[:cap], 0)
 
     n_corners = jax.lax.psum(n_local, axis)
     filt = tile_local_nms(cx, cy, cvalid, axis, my, n, x0, tile_w, cfg)
 
-    # gather only the SURVIVORS (compact per tile) for the replicated tracker
+    # gather only the SURVIVORS (compact per tile) for the replicated
+    # tracker — r5: same sort-based compaction, tile-major order preserved
     sx = jax.lax.all_gather(filt.x, axis).reshape(-1)
     sy = jax.lax.all_gather(filt.y, axis).reshape(-1)
     sv = (jax.lax.all_gather(jnp.arange(cap) < filt.count, axis)).reshape(-1)
-    gpos = jnp.cumsum(sv.astype(jnp.int32)) - 1
-    gspos = jnp.where(sv & (gpos < cap), gpos, cap)
-    gx = jnp.zeros((cap + 1,), jnp.int32).at[gspos].set(
-        jnp.where(sv, sx, 0), mode="drop")[:cap]
-    gy = jnp.zeros((cap + 1,), jnp.int32).at[gspos].set(
-        jnp.where(sv, sy, 0), mode="drop")[:cap]
+    glane = jnp.arange(sx.shape[0], dtype=jnp.int32)
+    gkey = jnp.where(sv, glane, jnp.int32(sx.shape[0]))
+    _, gsx, gsy = jax.lax.sort((gkey, sx, sy), num_keys=1)
     n_filtered = jax.lax.psum(filt.count, axis)
     det_valid = jnp.arange(cap) < jnp.minimum(n_filtered, cap)
+    gx = jnp.where(det_valid, gsx[:cap], 0)
+    gy = jnp.where(det_valid, gsy[:cap], 0)
     tracks, groups = tracker_mod.update(
         tracks, gx.astype(jnp.float32), gy.astype(jnp.float32),
         det_valid, cfg.tracker)

@@ -331,13 +331,19 @@ main(['temporal', '--input', '/tmp/_temporal_cli_exact.csv',
 
 
 @pytest.mark.slow
-def test_temporal_exact_bit_parity():
+@pytest.mark.parametrize("pallas", [False, True])
+def test_temporal_exact_bit_parity(pallas):
     """VERDICT r2 item 1: the EXACT (bit-parity) AEClustering engine runs
     window-parallel over the data axis and, post-warmup, every emitted
     slice's live clusters match the single-device sequential exact run
     BIT-FOR-BIT — counts, EWMA means, centroids, AND member-set digests —
     up to slot/cid relabeling; cluster chains follow each physical blob
-    across every window boundary."""
+    across every window boundary.
+
+    pallas=True (r5, VERDICT r4 task #4) routes the temporal windows
+    through the PALLAS exact engine (Mosaic interpret mode on the CPU
+    mesh; real lowering on TPU) while the sequential oracle stays on the
+    XLA scan — cross-engine AND cross-window bit-parity in one check."""
     code = """
 import numpy as np, jax, jax.numpy as jnp
 from evflow_tpu.config import (EngineConfig, SensorConfig, SliceConfig,
@@ -394,8 +400,11 @@ for s in range(S):
                 np.asarray(dig)))
 
 W, warm = 4, 3
+import dataclasses
+ECFG_T = dataclasses.replace(ECFG, cluster=dataclasses.replace(
+    ECFG.cluster, exact_pallas_interpret=PALLAS_FLAG))
 m = mesh_mod.make_data_mesh(W, ECFG.parallel)
-out = temporal.run_temporal_exact(slices, m, W, warmup=warm, cfg=ECFG)
+out = temporal.run_temporal_exact(slices, m, W, warmup=warm, cfg=ECFG_T)
 alive = np.asarray(out.alive); n_ = np.asarray(out.n)
 mu = np.asarray(out.mu); cen = np.asarray(out.centroid)
 dig = np.asarray(out.digest); chain = np.asarray(out.cluster_chain)
@@ -430,6 +439,7 @@ for b in range(3):
     assert len(ids) == 1, (b, ids)
 print("EXACT-PARITY-OK")
 """
+    code = code.replace("PALLAS_FLAG", str(pallas))
     r = _run_cpu8(code, timeout=900)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "EXACT-PARITY-OK" in r.stdout
