@@ -20,6 +20,42 @@ N = 100_000
 LAPS = 3
 
 
+@jax.jit
+def _gate_panel(rows, pts_c):
+    from evflow_tpu.models.optics import _bf16_split
+    r_hi, r_lo = _bf16_split(rows)
+    q_hi, q_lo = _bf16_split(pts_c)
+    dims = (((1,), (0,)), ((), ()))
+
+    def bdot(a, b):
+        return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                   b.T.astype(jnp.bfloat16), dims,
+                                   preferred_element_type=jnp.float32)
+
+    cross = bdot(r_hi, q_hi) + bdot(r_hi, q_lo) + bdot(r_lo, q_hi)
+    r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+    return r2 + q2 - 2.0 * cross
+
+
+def gate_soundness(pts_np, d, rows_n=256, cols_n=4096):
+    """Max |d2b - d2_f64| / (|r||q|) of the split-bf16 gate ON THIS BACKEND
+    — must sit far below the 2^-10 margin (the r5 HIGH-precision incident:
+    the requested 3-pass lowering silently wasn't)."""
+    c = pts_np.mean(0)
+    pc = (pts_np - c).astype(np.float32)
+    rows = pc[:rows_n]
+    d2b = np.asarray(_gate_panel(jnp.asarray(rows),
+                                 jnp.asarray(pc))[:, :cols_n])
+    exact = ((rows[:, None, :].astype(np.float64)
+              - pc[None, :cols_n].astype(np.float64)) ** 2).sum(-1)
+    rq = (np.linalg.norm(rows.astype(np.float64), axis=1)[:, None]
+          * np.linalg.norm(pc[:cols_n].astype(np.float64), axis=1)[None, :])
+    rel = np.abs(d2b - exact) / np.maximum(rq, 1e-9)
+    print(f"  gate soundness d={d}: max_rel_err=2^{np.log2(rel.max()):.1f} "
+          f"(margin 2^-10; must be well below)", flush=True)
+
+
 def main():
     ks = [int(v) for v in (sys.argv[1].split(",") if len(sys.argv) > 1
                            else ["64", "128"])]
@@ -27,6 +63,7 @@ def main():
         pts = uniform_cloud(N, d, 1000.0, seed=1)
         eps = optics.epsilon_estimation(pts, 10)
         print(f"== d={d} eps={eps:.2f} ==", flush=True)
+        gate_soundness(pts.astype(np.float32), d)
         for k in ks:
             stats = {}
             t = optics.compute_neighbors_certified(pts, eps, 10, k,

@@ -173,3 +173,26 @@ def mk_full_mm():
     return pipeline.full_scan(fastcluster.init_state(cfgMM.cluster),
                               pipeline.init_corner_state(cfgMM), xs, ys, ts, vs, cfgMM)
 bench("full_scanMM", mk_full_mm)
+
+# 9. r5 micro-slice q=8: snapshot-stack backend vs the r3-r4 serial chain,
+# corner step alone and the full fused scan (the parity-grade headline)
+cfgQ8 = dataclasses.replace(
+    cfg, efast=dataclasses.replace(cfg.efast, micro_slices=8))
+cfgQ8s = dataclasses.replace(
+    cfg, efast=dataclasses.replace(cfg.efast, micro_slices=8,
+                                   micro_stack=False))
+def mk_corner_q8():
+    return pipeline.corner_track_scan(pipeline.init_corner_state(cfgQ8),
+                                      xs, ys, ts, vs, cfgQ8)
+bench("corner_step_q8stack", mk_corner_q8)
+
+def mk_corner_q8_serial():
+    return pipeline.corner_track_scan(pipeline.init_corner_state(cfgQ8s),
+                                      xs, ys, ts, vs, cfgQ8s)
+bench("corner_step_q8serial", mk_corner_q8_serial)
+
+def mk_full_q8():
+    return pipeline.full_scan(fastcluster.init_state(cfgQ8.cluster),
+                              pipeline.init_corner_state(cfgQ8),
+                              xs, ys, ts, vs, cfgQ8)
+bench("full_scan_q8stack", mk_full_q8)

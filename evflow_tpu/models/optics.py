@@ -235,19 +235,40 @@ def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
     return NeighborTable(idx, dist, cnt, core)
 
 
-def _certified_gate(rows, pts_c, q2, qn, eps):
-    """Centered Precision.HIGH gate panel + exact superset count.
+def _bf16_split(a):
+    """a = hi + lo with hi = bf16(a) (both returned as f32). lo captures the
+    next ~8 mantissa bits; |lo| <= 2^-8·|a| and |lo - bf16(lo)| <= 2^-16·|a|.
+    """
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
 
-    HIGH lowers to the 3-pass bf16 scheme on TPU (hi·hi + hi·lo + lo·hi):
-    the dropped lo·lo term is <= 2^-16·|r||q| and the f32 accumulation's
-    random-walk rounding over n terms ~ sqrt(n)·2^-24·|r||q| ~ 2^-15·|r||q|
-    at n=100k, so the gate margin 2^-10·|r||q| keeps a >= 32x safety factor
-    while inflating the superset only a few percent (the r4 bf16 1-pass
-    gate's 2^-5 margin inflated d=4 supersets ~10x — 70% of rows overflowed
-    k=64, measured benchmarks/prof_certified.py)."""
+
+def _certified_gate(rows, pts_c, q2, qn, eps):
+    """Centered 3-pass split-bf16 gate panel + exact superset count.
+
+    The cross term rides THREE explicit bf16 MXU passes on hi/lo splits
+    (hi·hi + hi·lo + lo·hi, f32 accumulate) — written out rather than
+    requested via Precision.HIGH, whose lowering on this rig's backend
+    measured 1-pass-bf16-loose (r5: HIGH gate counts implied >128-neighbor
+    supersets that true ~10-45-neighbor rows cannot produce; a 2^-7-scale
+    error fits that inflation, a <= 2^-15 one does not). The dropped lo·lo
+    term is <= 2^-16·|r||q|, the lo-split rounding adds <= 2·2^-16·|r||q|,
+    and the f32 accumulation's random-walk rounding over n terms is
+    ~ sqrt(n)·2^-24·|r||q| ~ 2^-15·|r||q| at n=100k — so the 2^-10·|r||q|
+    margin keeps a >= 32x safety factor while inflating the superset only
+    a few percent (the r4 1-pass gate's 2^-5 margin inflated d=4 supersets
+    ~10x; 70% of rows overflowed k=64 — benchmarks/prof_certified.py)."""
     r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
-    cross = jax.lax.dot_general(rows, pts_c.T, (((1,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGH)
+    r_hi, r_lo = _bf16_split(rows)
+    q_hi, q_lo = _bf16_split(pts_c)
+    dims = (((1,), (0,)), ((), ()))
+
+    def bdot(a, b):
+        return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                   b.T.astype(jnp.bfloat16), dims,
+                                   preferred_element_type=jnp.float32)
+
+    cross = bdot(r_hi, q_hi) + bdot(r_hi, q_lo) + bdot(r_lo, q_hi)
     d2b = r2 + q2 - 2.0 * cross
     err = jnp.float32(2.0 ** -10) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
     keep = d2b <= eps * eps + err
@@ -365,24 +386,32 @@ def _certified_permute_jit(pts_pow, bits, xmask):
     return pts_pow[perm]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "min_pts", "recall",
-                                             "bits"))
-def _certified_round_jit(fpts, pts_c, pts_perm, eps, k, min_pts, recall,
-                         bits, xmask):
+@functools.partial(jax.jit, static_argnames=("k", "k_sel", "min_pts",
+                                             "recall", "bits"))
+def _certified_round_jit(fpts, pts_c, pts_perm, eps, k, k_sel, min_pts,
+                         recall, bits, xmask):
     """One rotated re-selection round over a block of previously-uncertified
     rows: the same gate + approx_max_k + certificate, but against the
     bit-reversal-permuted point order (pts_perm, from
     _certified_permute_jit), so each round's reduction-bucket collisions
-    are independent — row failure probability decays geometrically
-    (~0.2^rounds, measured base rate benchmarks/prof_certified.py P1).
-    fpts is already centered; selected columns map back to original
-    indices in-register via the same bit-reversal expression."""
+    are independently placed — AND with k_sel (> k) selection slots, whose
+    larger reduction buffer cuts the per-row collision probability
+    severalfold (the rows that fail pass 1 are disproportionately the
+    dense-neighborhood tail, cnt near k — r5 TPU measurement: at k_sel=k,
+    4 rounds left ~half of d=4's 3929 failures standing; the sort fallback
+    on those dominated the whole call). fpts is already centered; selected
+    columns map back to original indices in-register via the same
+    bit-reversal expression. Output rows are cut back to k columns —
+    certified rows have cnt <= k finite entries, so nothing true is lost.
+    """
     q2p = jnp.sum(pts_perm * pts_perm, axis=1)[None, :]
     qnp_ = jnp.sqrt(jnp.maximum(q2p, 0.0))
     masked, cnt = _certified_gate(fpts, pts_perm, q2p, qnp_, eps)
-    return _certified_select_refine(
-        masked, cnt, fpts, pts_c, eps, k, min_pts, recall,
+    idx, dx, cnt, core, cert = _certified_select_refine(
+        masked, cnt, fpts, pts_c, eps, k_sel, min_pts, recall,
         col_map=lambda idx: _bitrev_xor(idx, bits, xmask))
+    cert = cert & (cnt <= k)
+    return idx[:, :k], dx[:, :k], cnt, core, cert
 
 
 @functools.partial(jax.jit, static_argnames=("k", "min_pts", "cb", "ncb"))
@@ -428,7 +457,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 recall_target: float = 0.95,
                                 rounds: int = 4,
                                 round_block: int = 2048,
-                                sort_block: int = 64,
+                                sort_block: int = 512,
                                 _stats: Optional[dict] = None,
                                 _force_fallback: bool = False,
                                 _force_retry: bool = False
@@ -455,6 +484,8 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
     (test hook — on XLA:CPU approx_max_k is exact, so fallbacks never fire
     naturally).
     """
+    import time as _time
+    t_start = _time.perf_counter()
     pts = jnp.asarray(points, jnp.float32)
     n, d = pts.shape
     k = min(max_neighbors, n)
@@ -480,6 +511,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
         bad_counts = np.asarray(cnt)
     if _stats is not None:
         _stats["uncertified"] = int(bad.size)
+        _stats["pass1_s"] = _time.perf_counter() - t_start  # nbad read = sync
 
     def patch(rows, fi, fd, fc, fcore):
         nonlocal idx, dist, cnt, core
@@ -501,6 +533,8 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
         pts_c_pow = jnp.pad(pts - c_np[None, :], ((0, npow - n), (0, 0)),
                             constant_values=jnp.inf)
         pts_c = pts - c_np[None, :]
+        k_sel = min(max(4 * k, 256), n)
+        t_rounds = _time.perf_counter()
         for r in range(rounds):
             if retry.size == 0:
                 break
@@ -518,7 +552,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                 fpts[:rows.size] = pts_np[rows] - c_np[None, :]
                 results.append((rows, _certified_round_jit(
                     jnp.asarray(fpts), pts_c, pts_perm, jnp.float32(eps),
-                    k, min_pts, recall_target, bits, xmask_d)))
+                    k, k_sel, min_pts, recall_target, bits, xmask_d)))
             # ONE certificate readback for the whole round (all blocks were
             # enqueued above and run back-to-back on device)
             ok_all = np.asarray(jnp.concatenate(
@@ -537,10 +571,12 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
         bad = np.concatenate([over, retry])
         if _stats is not None:
             _stats["sorted"] = int(bad.size)
+            _stats["rounds_s"] = _time.perf_counter() - t_rounds
     elif _stats is not None:
         _stats["sorted"] = int(bad.size)
 
     if bad.size:
+        t_sort = _time.perf_counter()
         cb = 8192
         ncb = -(-n // cb)
         pts_np = np.asarray(pts)
@@ -551,6 +587,9 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
             fi, fd, fc, fcore = _certified_fallback_jit(
                 jnp.asarray(fpts), pts, jnp.float32(eps), k, min_pts, cb, ncb)
             patch(rows, fi, fd, fc, fcore)
+        if _stats is not None:
+            np.asarray(idx.ravel()[:1])     # drain so sort_s is honest
+            _stats["sort_s"] = _time.perf_counter() - t_sort
     return NeighborTable(idx, dist, cnt, core)
 
 
