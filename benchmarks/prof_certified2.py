@@ -22,20 +22,13 @@ LAPS = 3
 
 @jax.jit
 def _gate_panel(rows, pts_c):
-    from evflow_tpu.models.optics import _bf16_split
-    r_hi, r_lo = _bf16_split(rows)
-    q_hi, q_lo = _bf16_split(pts_c)
-    dims = (((1,), (0,)), ((), ()))
-
-    def bdot(a, b):
-        return jax.lax.dot_general(a.astype(jnp.bfloat16),
-                                   b.T.astype(jnp.bfloat16), dims,
-                                   preferred_element_type=jnp.float32)
-
-    cross = bdot(r_hi, q_hi) + bdot(r_hi, q_lo) + bdot(r_lo, q_hi)
-    r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
+    # probes the PRODUCTION gate expression (eps=inf keeps every entry, so
+    # the masked panel IS the d2b panel)
+    from evflow_tpu.models.optics import _certified_gate
     q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
-    return r2 + q2 - 2.0 * cross
+    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+    masked, _ = _certified_gate(rows, pts_c, q2, qn, jnp.float32(np.inf))
+    return masked
 
 
 def gate_soundness(pts_np, d, rows_n=256, cols_n=4096):
@@ -53,7 +46,7 @@ def gate_soundness(pts_np, d, rows_n=256, cols_n=4096):
           * np.linalg.norm(pc[:cols_n].astype(np.float64), axis=1)[None, :])
     rel = np.abs(d2b - exact) / np.maximum(rq, 1e-9)
     print(f"  gate soundness d={d}: max_rel_err=2^{np.log2(rel.max()):.1f} "
-          f"(margin 2^-10; must be well below)", flush=True)
+          f"(margin 2^-13; must be well below)", flush=True)
 
 
 def main():

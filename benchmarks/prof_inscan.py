@@ -12,10 +12,16 @@ from evflow_tpu.models import fastcluster, tracker as trk, pipeline
 
 cfg = DEFAULT
 n_slices, n = 32, cfg.slicing.n_events
-stream = synthetic.moving_blob_stream(
-    num_slices=n_slices, events_per_slice=n,
-    blob_centers=((200.0, 200.0), (900.0, 500.0), (600.0, 150.0)),
-    velocities=((30.0, 10.0), (-20.0, 15.0), (5.0, -12.0)), sigma=12.0)
+# --textured profiles the adversarial scene (VERDICT r4 task #6: find where
+# its extra ~0.7 ms/slice goes); default is bench.py's blob stream
+if "--textured" in sys.argv:
+    stream = synthetic.textured_field_stream(
+        num_slices=n_slices, events_per_slice=n)
+else:
+    stream = synthetic.moving_blob_stream(
+        num_slices=n_slices, events_per_slice=n,
+        blob_centers=((200.0, 200.0), (900.0, 500.0), (600.0, 150.0)),
+        velocities=((30.0, 10.0), (-20.0, 15.0), (5.0, -12.0)), sigma=12.0)
 slices = slice_by_count(stream, n, drop_partial=True)
 t0 = int(stream.t[0])
 xs = jnp.asarray(slices.x); ys = jnp.asarray(slices.y)
@@ -149,6 +155,19 @@ def mk_cluster_mm():
         return s, out.centroid
     return jax.lax.scan(step, fastcluster.init_state(cfgMM.cluster), (xs, ys, vs))
 bench("fastclusterMM", mk_cluster_mm)
+
+# 6c. fastcluster with the fused Pallas stats kernel (r5 task #5)
+cfgPL = dataclasses.replace(
+    cfg, cluster=dataclasses.replace(cfg.cluster, stats_pallas=True))
+def mk_cluster_pl():
+    def step(s, ev):
+        x, y, v = ev
+        s, out = fastcluster.update_slice(s, x, y, v, cfgPL.cluster,
+                                          cfgPL.sensor)
+        return s, out.centroid
+    return jax.lax.scan(step, fastcluster.init_state(cfgPL.cluster),
+                        (xs, ys, vs))
+bench("fastclusterPL", mk_cluster_pl)
 
 # 7. full steps
 def mk_full_cluster():

@@ -126,6 +126,15 @@ class ClusterConfig:
     # fastcluster in-scan 0.753 -> 0.494 ms/slice, fused full scan
     # 1.850 -> 1.582 — adopted as the default.
     stats_matmul: bool = True
+    # r5: compute the per-slice ranks/EWMA-weights/(C,5) aggregates as ONE
+    # Mosaic program (ops/pallas_kernels.py:cluster_stats) instead of the
+    # stats_matmul XLA chain — the (N, C) one-hot/cumsum/weight panels stay
+    # in VMEM. Counts/ranks exact; weighted sums differ only in fp
+    # reduction order (same class as stats_matmul vs the scatter path).
+    # Applies on the single-device path when N %% 2048 == 0 (mesh paths
+    # keep the XLA form — collectives interleave the computation). Opt-in
+    # pending TPU A/B measurement.
+    stats_pallas: bool = False
 
     @staticmethod
     def async_app() -> "ClusterConfig":

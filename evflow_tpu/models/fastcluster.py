@@ -231,6 +231,23 @@ def _slice_aggregates_matmul(mu0, pts, labels, valid, c, alpha,
     return mu, k_i, sum_slice
 
 
+def _slice_aggregates_pallas(mu0, pts, labels, valid, c, alpha):
+    """Fused-Mosaic twin of _slice_aggregates_matmul (cfg.stats_pallas) —
+    ops/pallas_kernels.py:cluster_stats does the per-event-heavy half in
+    one kernel; the tiny (C,) mu update stays here. Single-device only."""
+    from ..ops.pallas_kernels import cluster_stats
+    lbl = jnp.where(valid, labels, -1)
+    interp = jax.default_backend() != "tpu"
+    sums = cluster_stats(lbl, pts[:, 0], pts[:, 1], float(alpha), c,
+                         interpret=interp)
+    k_i = sums[:, 0].astype(jnp.int32)
+    la = jnp.log1p(-jnp.float32(alpha))
+    decay = jnp.exp(jnp.clip(sums[:, 0], 0.0, 80.0) * la)
+    mu = decay[:, None] * mu0 + sums[:, 3:5]
+    mu = jnp.where((k_i > 0)[:, None], mu, mu0)
+    return mu, k_i, sums[:, 1:3]
+
+
 def _update_slice_impl(
     state: FastState,
     x: jnp.ndarray,
@@ -342,9 +359,14 @@ def _update_slice_impl(
     member = labels >= 0
 
     # ---- 3+4. EWMA means and windowed membership aggregates (one fused pass)
-    agg = _slice_aggregates_matmul if cfg.stats_matmul else _slice_aggregates
-    mu, cnt_slice, sum_slice = agg(
-        mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha, axis)
+    if cfg.stats_pallas and axis is None and n % 2048 == 0:
+        mu, cnt_slice, sum_slice = _slice_aggregates_pallas(
+            mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha)
+    else:
+        agg = (_slice_aggregates_matmul if cfg.stats_matmul
+               else _slice_aggregates)
+        mu, cnt_slice, sum_slice = agg(
+            mu, pts, jnp.maximum(labels, 0), member, c, cfg.alpha, axis)
     head = state.ring_head
     rc = rc.at[:, head].set(cnt_slice)
     rs = rs.at[:, head].set(sum_slice)

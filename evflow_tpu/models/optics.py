@@ -235,42 +235,27 @@ def compute_neighbors_2stage(points: np.ndarray, eps: float, min_pts: int,
     return NeighborTable(idx, dist, cnt, core)
 
 
-def _bf16_split(a):
-    """a = hi + lo with hi = bf16(a) (both returned as f32). lo captures the
-    next ~8 mantissa bits; |lo| <= 2^-8·|a| and |lo - bf16(lo)| <= 2^-16·|a|.
-    """
-    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    return hi, a - hi
-
-
 def _certified_gate(rows, pts_c, q2, qn, eps):
-    """Centered 3-pass split-bf16 gate panel + exact superset count.
+    """Centered HIGHEST-precision gate panel + exact superset count.
 
-    The cross term rides THREE explicit bf16 MXU passes on hi/lo splits
-    (hi·hi + hi·lo + lo·hi, f32 accumulate) — written out rather than
-    requested via Precision.HIGH, whose lowering on this rig's backend
-    measured 1-pass-bf16-loose (r5: HIGH gate counts implied >128-neighbor
-    supersets that true ~10-45-neighbor rows cannot produce; a 2^-7-scale
-    error fits that inflation, a <= 2^-15 one does not). The dropped lo·lo
-    term is <= 2^-16·|r||q|, the lo-split rounding adds <= 2·2^-16·|r||q|,
-    and the f32 accumulation's random-walk rounding over n terms is
-    ~ sqrt(n)·2^-24·|r||q| ~ 2^-15·|r||q| at n=100k — so the 2^-10·|r||q|
-    margin keeps a >= 32x safety factor while inflating the superset only
-    a few percent (the r4 1-pass gate's 2^-5 margin inflated d=4 supersets
-    ~10x; 70% of rows overflowed k=64 — benchmarks/prof_certified.py)."""
+    r5 PRECISION SAGA, settled by on-device probes (gate_soundness in
+    benchmarks/prof_certified2.py): on this backend every bf16-input dot —
+    1-pass DEFAULT, Precision.HIGH, and even an explicit hi/lo split with
+    an optimization_barrier — measures ~2^-6.5·|r||q| error (the MXU
+    accumulation itself is loose; f32 accumulation is only honored on the
+    HIGHEST path, which measures 2^-18.8). The r4 2-stage's 1-pass gate
+    with its 2^-5 margin was SOUND but so loose it inflated d=4 supersets
+    ~10x (70% of rows overflowed k=64 and could never certify). HIGHEST
+    costs ~3x the bf16 panel (~123 vs 43 ms at n=100k, r4) and buys a
+    razor-tight superset: margin 2^-13·|r||q| is ~50x the measured error,
+    yet inflates the ε-ball radius by ~e-4 — supersets are within a
+    fraction of a percent of the true neighborhoods, so nearly every row
+    fits k and the certificate bites."""
     r2 = jnp.sum(rows * rows, axis=1, keepdims=True)
-    r_hi, r_lo = _bf16_split(rows)
-    q_hi, q_lo = _bf16_split(pts_c)
-    dims = (((1,), (0,)), ((), ()))
-
-    def bdot(a, b):
-        return jax.lax.dot_general(a.astype(jnp.bfloat16),
-                                   b.T.astype(jnp.bfloat16), dims,
-                                   preferred_element_type=jnp.float32)
-
-    cross = bdot(r_hi, q_hi) + bdot(r_hi, q_lo) + bdot(r_lo, q_hi)
+    cross = jax.lax.dot_general(rows, pts_c.T, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
     d2b = r2 + q2 - 2.0 * cross
-    err = jnp.float32(2.0 ** -10) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
+    err = jnp.float32(2.0 ** -13) * jnp.sqrt(jnp.maximum(r2, 0.0)) * qn
     keep = d2b <= eps * eps + err
     cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
     return jnp.where(keep, d2b, jnp.inf), cnt

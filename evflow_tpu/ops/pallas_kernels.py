@@ -99,6 +99,134 @@ def assign_manhattan_reference(x, y, mu, alive, radius):
 
 
 # --------------------------------------------------------------------------
+# Fused cluster-stats kernel (r5, VERDICT r4 task #5)
+# --------------------------------------------------------------------------
+
+def _cluster_stats_kernel(tri_ref, lbl_ref, x_ref, y_ref, la_ref,
+                          out_ref, counts_ref, prefix_ref):
+    """Two-phase grid (phase, block): phase 0 accumulates per-cluster member
+    counts; phase 1 computes stream-order ranks (block-local triangular
+    matmul cumsum + running prefix), EWMA weights w = a·(1-a)^(k-1-rank),
+    and the (C, 5) [count, Σx, Σy, Σwx, Σwy] aggregates — everything the
+    XLA stats path stages through HBM as (N, C) panels stays in VMEM."""
+    p = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    bn = lbl_ref.shape[0]
+    c = counts_ref.shape[1]
+    sb = tri_ref.shape[0]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    lbl = lbl_ref[:]
+
+    @pl.when((p == 0) & (b == 0))
+    def _():
+        counts_ref[...] = jnp.zeros_like(counts_ref)
+
+    @pl.when((p == 1) & (b == 0))
+    def _():
+        prefix_ref[...] = jnp.zeros_like(prefix_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(p == 0)
+    def _():
+        oh = (lbl[:, None] == iota_c).astype(jnp.float32)       # (bn, C)
+        counts_ref[...] = counts_ref[...] + jnp.sum(oh, axis=0,
+                                                    keepdims=True)
+
+    @pl.when(p == 1)
+    def _():
+        la = la_ref[0]
+        alpha = la_ref[1]
+        x = x_ref[:]
+        y = y_ref[:]
+        counts = counts_ref[...]                                # (1, C)
+        off = prefix_ref[...]                                   # (1, C)
+        acc = out_ref[...]                                      # (C, 5)
+        for s in range(bn // sb):
+            sl = slice(s * sb, (s + 1) * sb)
+            ohs = (lbl[sl][:, None] == iota_c).astype(jnp.float32)
+            incl = jnp.dot(tri_ref[...], ohs,
+                           preferred_element_type=jnp.float32)  # (sb, C)
+            excl = incl - ohs + off                             # (sb, C)
+            rank = jnp.sum(ohs * excl, axis=1)                  # (sb,)
+            k_i = jnp.sum(ohs * counts, axis=1)                 # (sb,)
+            member = jnp.sum(ohs, axis=1) > 0.0
+            expo = jnp.clip(k_i - 1.0 - rank, 0.0, 80.0)
+            w = jnp.where(member, alpha * jnp.exp(expo * la), 0.0)
+            feats = jnp.stack(
+                [jnp.sum(ohs, axis=1), x[sl], y[sl],
+                 w * x[sl], w * y[sl]], axis=1)                 # (sb, 5)
+            feats = jnp.where(member[:, None], feats, 0.0)
+            acc = acc + jax.lax.dot_general(
+                ohs, feats, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (C, 5)
+            off = off + jnp.sum(ohs, axis=0, keepdims=True)
+        prefix_ref[...] = off
+        out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "c", "tile_n",
+                                             "sub_block", "interpret"))
+def cluster_stats(labels: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                  alpha: float, c: int, tile_n: int = 2048,
+                  sub_block: int = 512, interpret: bool = False):
+    """Fused per-slice cluster statistics: (C, 5) f32
+    [member count, Σx, Σy, Σ w·x, Σ w·y] with stream-order EWMA weights
+    w_i = α(1-α)^(k-1-rank_i) — the per-event-heavy half of
+    fastcluster._slice_aggregates_matmul as ONE Mosaic program (no (N, C)
+    HBM panels). labels: (N,) int32, -1 = unassigned. Counts and ranks are
+    exact (0/1 products, f32 accumulation); weighted sums differ from the
+    XLA paths only in fp reduction order."""
+    n = labels.shape[0]
+    assert n % tile_n == 0 and tile_n % sub_block == 0, (n, tile_n, sub_block)
+    import math
+    grid = (2, n // tile_n)
+    tri = jnp.tril(jnp.ones((sub_block, sub_block), jnp.float32))
+    la = jnp.asarray([math.log1p(-alpha), alpha], jnp.float32)
+    return pl.pallas_call(
+        _cluster_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((sub_block, sub_block), lambda p, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda p, b: (b,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda p, b: (b,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda p, b: (b,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2,), lambda p, b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 5), lambda p, b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 5), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
+                        pltpu.VMEM((1, c), jnp.float32)],
+        interpret=interpret,
+    )(tri, labels.astype(jnp.int32), x.astype(jnp.float32),
+      y.astype(jnp.float32), la)
+
+
+def cluster_stats_reference(labels, x, y, alpha, c):
+    """jnp oracle — mirrors _slice_aggregates_matmul's math."""
+    n = labels.shape[0]
+    member = labels >= 0
+    ids = jnp.where(member, labels, c)
+    onehot = (ids[:, None] == jnp.arange(c)[None, :]).astype(jnp.float32)
+    p = jnp.cumsum(onehot, axis=0)
+    k_c = p[-1]
+    import math
+    la = math.log1p(-alpha)
+    expo = jnp.clip(k_c[None, :] - p, 0.0, 80.0)
+    w = jnp.sum(onehot * (alpha * jnp.exp(expo * la)), axis=1)
+    feats = jnp.stack([jnp.ones((n,)), x.astype(jnp.float32),
+                       y.astype(jnp.float32), w * x, w * y], axis=1)
+    feats = jnp.where(member[:, None], feats, 0.0)
+    return jax.lax.dot_general(onehot, feats, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+# --------------------------------------------------------------------------
 # SAE scatter-max: intentionally NOT a Pallas kernel
 # --------------------------------------------------------------------------
 # A band-partitioned Pallas scatter (each grid step owning H/bands rows and

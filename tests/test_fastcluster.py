@@ -168,6 +168,45 @@ def test_stats_matmul_equals_sort_scatter_path():
                                    np.asarray(outB.flow), atol=1e-3)
 
 
+def test_stats_pallas_equals_matmul_path():
+    """r5 (VERDICT r4 task #5): the fused-Mosaic stats kernel
+    (ops/pallas_kernels.py:cluster_stats, interpret mode off-TPU) must
+    reproduce the stats_matmul path — counts/labels/liveness exactly,
+    coordinate sums up to fp reduction order. n is a multiple of 2048 so
+    the Pallas branch actually engages."""
+    import dataclasses
+    cfgA = dataclasses.replace(CFG, stats_matmul=True)
+    cfgB = dataclasses.replace(CFG, stats_pallas=True)
+    stA = fc.init_state(cfgA)
+    stB = fc.init_state(cfgB)
+    rng = np.random.default_rng(7)
+    n = 4096
+    for s in range(5):
+        cx = rng.uniform(50, 950, 5)
+        cy = rng.uniform(50, 650, 5)
+        k = rng.integers(0, 5, n)
+        x = np.clip((cx[k] + rng.normal(0, 9, n)), 0, 1000).astype(np.int32)
+        y = np.clip((cy[k] + rng.normal(0, 9, n)), 0, 700).astype(np.int32)
+        v = rng.random(n) < 0.9
+        stA, outA = fc.update_slice(stA, jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(v), cfgA, SENSOR)
+        stB, outB = fc.update_slice(stB, jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(v), cfgB, SENSOR)
+        np.testing.assert_array_equal(np.asarray(outA.n), np.asarray(outB.n))
+        np.testing.assert_array_equal(np.asarray(outA.alive),
+                                      np.asarray(outB.alive))
+        np.testing.assert_array_equal(np.asarray(outA.cid),
+                                      np.asarray(outB.cid))
+        np.testing.assert_array_equal(np.asarray(outA.labels),
+                                      np.asarray(outB.labels))
+        np.testing.assert_allclose(np.asarray(outA.centroid),
+                                   np.asarray(outB.centroid), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stA.mu), np.asarray(stB.mu),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(outA.flow),
+                                   np.asarray(outB.flow), atol=1e-3)
+
+
 def test_representative_candidates_sort_oracle():
     """r4b: the two-sort representative selection must pick exactly the LAST
     event lane of each touched pixel, compacted in stream order of that
