@@ -93,14 +93,11 @@ def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     readback runs at PCIe rates."""
     pts = uniform_cloud(n_points, dim, volume, seed=1)
     eps = optics.epsilon_estimation(pts, min_pts)
-    # warm the exact dense kernel: when the grid declines (high dim) the auto
-    # path falls back to approx=False dense — a static arg run_device never
-    # compiled, and a first-time XLA compile in the timed region would
-    # swamp the measurement
-    if optics.compute_neighbors_grid(pts, eps, min_pts,
-                                     max_neighbors=max_neighbors) is None:
-        optics.compute_neighbors(pts, eps, min_pts,
-                                 max_neighbors=max_neighbors, approx=False)
+    # warm-up run compiles whatever backends the auto path picks (r5: the
+    # d>4 fallthrough is now the certified-exact path, whose pass/round/
+    # sort jits would otherwise first-compile inside the timed region)
+    optics.compute_reachability_dists(pts, min_pts, eps,
+                                      max_neighbors=max_neighbors)
     t0 = time.perf_counter()
     rd = optics.compute_reachability_dists(pts, min_pts, eps,
                                            max_neighbors=max_neighbors)
