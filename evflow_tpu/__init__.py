@@ -34,15 +34,16 @@ def setup_cache(cache_dir: str | None = None) -> None:
         import zlib as _zlib
         tag = "-" + _platform.machine()
         try:
-            key_parts = []
+            import jaxlib
+            key_parts = [jax.__version__,
+                         getattr(jaxlib, "__version__", "?")]
             with open("/proc/cpuinfo") as f:
                 for line in f:
                     if line.startswith(("model name", "flags")):
                         key_parts.append(line.split(":", 1)[1].strip())
-                        if len(key_parts) == 2:
+                        if len(key_parts) == 4:
                             break
-            if key_parts:
-                tag = "-%08x" % _zlib.crc32("|".join(key_parts).encode())
+            tag = "-%08x" % _zlib.crc32("|".join(key_parts).encode())
         except OSError:
             pass
         cache_dir = _os.path.join(_os.path.dirname(_os.path.dirname(
