@@ -1113,7 +1113,9 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
         return table
 
     table = build(max_neighbors)
-    max_cnt = int(np.asarray(table.count).max()) if n else 0
+    # reduce on device, read ONE scalar — np.asarray(count).max() pulled the
+    # full (n,) vector through the relay (<1 MB/s) on every call
+    max_cnt = int(np.asarray(jnp.max(table.count))) if n else 0
     k_eff = table.idx.shape[1]
     if max_cnt > k_eff:
         # (N, K) panel memory bound: <= 256M entries and K <= 1024
@@ -1124,7 +1126,7 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
                 f"OPTICS neighbor cap {k_eff} < max neighborhood {max_cnt}; "
                 f"recomputing with max_neighbors={k_new}", RuntimeWarning)
             table = build(k_new)
-            max_cnt2 = int(np.asarray(table.count).max())
+            max_cnt2 = int(np.asarray(jnp.max(table.count)))
             k_eff = table.idx.shape[1]
             max_cnt = max_cnt2
         if max_cnt > k_eff:
