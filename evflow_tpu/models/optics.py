@@ -306,10 +306,19 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
 
     proves the row captured its ENTIRE gate superset — and therefore, after
     the exact diff-form refine at the true eps, its exact ε-neighborhood.
-    Rows that fail (approx_max_k reduction-bucket collisions ~20% of rows
-    at the benchmark densities, or gate overflow past k) are flagged; the
-    host wrapper re-selects only those via bit-reversal-rotated rounds
-    (_certified_round_jit) and a final exact sort (_certified_fallback_jit).
+    Rows that fail (approx_max_k reduction-bucket collisions ~3% of rows
+    at the benchmark densities under the tight gate, or gate overflow past
+    k) are flagged; the host wrapper re-selects only those via the EXACT
+    segment-gather selection (_certified_straggler_jit) and sends genuine
+    overflow to the full-width sort (_certified_fallback_jit).
+
+    NEGATIVE RESULT (r5, on TPU): bit-reversal-ROTATED approx re-selection
+    rounds (re-run approx_max_k against a column-permuted panel so
+    reduction-bucket collisions land elsewhere, optionally with 4x
+    selection slots) captured only ~37% of the failing rows per round —
+    the dense-neighborhood tail collides under every rotation — and each
+    round cost a certificate readback. Replaced by the deterministic
+    segment-gather path (git history holds the implementation).
 
     NEGATIVE RESULT (r5, benchmarks/prof_certified.py P4): a per-segment
     top-C min/argmin pre-reduction before approx_max_k measured 600 ms —
@@ -353,50 +362,56 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
     return idx, dist, cnt, core, bad_rows, bad_cnt, nbad
 
 
-def _bitrev_xor(i, bits, xmask):
-    """Bit-reversal (+ XOR) permutation of [0, 2^bits) — an in-register
-    bijection that destroys the index locality approx_max_k's reduction
-    buckets are built on, so a re-selection round under it has
-    independently-placed bucket collisions."""
-    r = jnp.zeros_like(i)
-    for b in range(bits):
-        r = r | (((i >> b) & 1) << (bits - 1 - b))
-    return r ^ xmask
-
-
-@functools.partial(jax.jit, static_argnames=("bits",))
-def _certified_permute_jit(pts_pow, bits, xmask):
-    perm = _bitrev_xor(jnp.arange(pts_pow.shape[0], dtype=jnp.int32),
-                       bits, xmask)
-    return pts_pow[perm]
-
-
-@functools.partial(jax.jit, static_argnames=("k", "k_sel", "min_pts",
-                                             "recall", "bits"))
-def _certified_round_jit(fpts, pts_c, pts_perm, eps, k, k_sel, min_pts,
-                         recall, bits, xmask):
-    """One rotated re-selection round over a block of previously-uncertified
-    rows: the same gate + approx_max_k + certificate, but against the
-    bit-reversal-permuted point order (pts_perm, from
-    _certified_permute_jit), so each round's reduction-bucket collisions
-    are independently placed — AND with k_sel (> k) selection slots, whose
-    larger reduction buffer cuts the per-row collision probability
-    severalfold (the rows that fail pass 1 are disproportionately the
-    dense-neighborhood tail, cnt near k — r5 TPU measurement: at k_sel=k,
-    4 rounds left ~half of d=4's 3929 failures standing; the sort fallback
-    on those dominated the whole call). fpts is already centered; selected
-    columns map back to original indices in-register via the same
-    bit-reversal expression. Output rows are cut back to k columns —
-    certified rows have cnt <= k finite entries, so nothing true is lost.
-    """
-    q2p = jnp.sum(pts_perm * pts_perm, axis=1)[None, :]
-    qnp_ = jnp.sqrt(jnp.maximum(q2p, 0.0))
-    masked, cnt = _certified_gate(fpts, pts_perm, q2p, qnp_, eps)
-    idx, dx, cnt, core, cert = _certified_select_refine(
-        masked, cnt, fpts, pts_c, eps, k_sel, min_pts, recall,
-        col_map=lambda idx: _bitrev_xor(idx, bits, xmask))
-    cert = cert & (cnt <= k)
-    return idx[:, :k], dx[:, :k], cnt, core, cert
+@functools.partial(jax.jit, static_argnames=("k", "min_pts", "seg_w"))
+def _certified_straggler_jit(fpts, pts_c, eps, k, min_pts, seg_w=8):
+    """EXACT selection for rows the pass-1 certificate rejected — no
+    approximation anywhere (r5, replaces the rotated re-selection rounds,
+    which measured only ~37% capture per round on the dense-neighborhood
+    tail). Key fact: a retry row has cnt <= k gate-passers, and passers
+    occupy at most cnt <= k of the row's width-seg_w segments. So:
+    per-segment finite-count (fused reduction over the gate panel) ->
+    exact selection of the occupied segment INDICES (a narrow (R, S) sort)
+    -> gather only those k·seg_w candidate columns -> exact diff-form
+    refine + final narrow sort. Deterministic and complete whenever
+    cnt <= k (cert output); overflow rows fall through to the full-width
+    sort. fpts is centered; (R, S)-sort + (R, k·seg_w) work replace the
+    (R, N) full sort (~7x cheaper at R=512, N=100k)."""
+    r, d = fpts.shape
+    n = pts_c.shape[0]
+    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+    masked, cnt = _certified_gate(fpts, pts_c, q2, qn, eps)     # (R, N)
+    s = -(-n // seg_w)
+    wpad = s * seg_w - n
+    segfin = jnp.any(jnp.isfinite(
+        jnp.pad(masked, ((0, 0), (0, wpad)), constant_values=jnp.inf)
+        .reshape(r, s, seg_w)), axis=2)                          # (R, S)
+    segkey = jnp.where(segfin, jnp.arange(s, dtype=jnp.int32)[None, :],
+                       jnp.int32(s))
+    sseg = jax.lax.sort(segkey, dimension=1)[:, :k]              # (R, k)
+    segok = sseg < s
+    cols = (jnp.clip(sseg, 0, s - 1)[:, :, None] * seg_w
+            + jnp.arange(seg_w, dtype=jnp.int32)[None, None, :]
+            ).reshape(r, k * seg_w)
+    colok = segok[:, :, None].repeat(seg_w, axis=2).reshape(r, k * seg_w) \
+        & (cols < n)
+    cols = jnp.clip(cols, 0, n - 1)
+    cand = pts_c[cols]                                           # (R, kw, d)
+    d2x = jnp.sum((fpts[:, None, :] - cand) ** 2, axis=-1)
+    dx = jnp.sqrt(d2x)
+    dx = jnp.where(colok & (dx <= eps), dx, jnp.inf)
+    sd, si = jax.lax.sort((dx, cols), num_keys=1)
+    sd_k = jax.lax.slice_in_dim(sd, 0, k, axis=1)
+    si_k = jnp.where(jnp.isfinite(sd_k),
+                     jax.lax.slice_in_dim(si, 0, k, axis=1), -1)
+    cnt_true = jnp.sum(jnp.isfinite(dx), axis=1).astype(jnp.int32)
+    if min_pts <= k:
+        core = sd_k[:, min_pts - 1]
+    else:
+        core = jnp.full((r,), jnp.inf, jnp.float32)
+    core = jnp.where(cnt_true >= min_pts, core, jnp.inf)
+    cert = cnt <= k
+    return si_k, sd_k, cnt, core, cert
 
 
 @functools.partial(jax.jit, static_argnames=("k", "min_pts", "cb", "ncb"))
@@ -440,8 +455,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 max_neighbors: int = 256,
                                 block: int = 2048,
                                 recall_target: float = 0.95,
-                                rounds: int = 4,
-                                round_block: int = 2048,
+                                straggler_block: int = 512,
                                 sort_block: int = 512,
                                 _stats: Optional[dict] = None,
                                 _force_fallback: bool = False,
@@ -449,15 +463,15 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 ) -> NeighborTable:
     """EXACT ε-neighborhoods at any dimension via count-certified selection:
 
-      1. full pass (_compute_neighbors_certified_jit): HIGH-precision gate
-         panel + approx_max_k; the per-row certificate PROVES completeness
-         for ~80% of rows at benchmark densities (prof_certified.py P1);
-      2. up to `rounds` rotated re-selection rounds on the still-failing
-         rows (_certified_round_jit, bit-reversal column permutations —
-         each ~3 ms/2048-row block, failure decays ~0.2^round);
-      3. an exact full-width variadic sort for the stragglers and for
-         genuine gate-overflow rows (cnt > k, which no selection can
-         certify), in small blocks (_certified_fallback_jit).
+      1. full pass (_compute_neighbors_certified_jit): HIGHEST-precision
+         gate panel + approx_max_k; the per-row certificate PROVES
+         completeness for ~97% of rows at benchmark densities;
+      2. the EXACT segment-gather re-selection for the rejected rows
+         (_certified_straggler_jit — deterministic, complete whenever
+         cnt <= k, no further readbacks);
+      3. an exact full-width variadic sort for genuine gate-overflow rows
+         (cnt > k, which no k-wide selection can certify), in small blocks
+         (_certified_fallback_jit).
 
     Same output contract as compute_neighbors; neighbor sets equal the
     dense-HIGHEST oracle's whenever neighborhoods fit max_neighbors
@@ -465,8 +479,9 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
     superset size so the auto-raise path fires on overflow.
 
     _stats (optional dict) receives {"uncertified": int, "sorted": int}
-    telemetry; _force_fallback routes EVERY row through the exact sort
-    (test hook — on XLA:CPU approx_max_k is exact, so fallbacks never fire
+    (+ phase timings) telemetry; _force_fallback routes EVERY row through
+    the exact sort and _force_retry through the segment-gather path (test
+    hooks — on XLA:CPU approx_max_k is exact, so fallbacks never fire
     naturally).
     """
     import time as _time
@@ -508,55 +523,29 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
         core = core.at[rows_j].set(fcore[take])
 
     if bad.size and not _force_fallback:
-        # overflow rows can never certify — route them straight to the sort
+        # overflow rows can never certify — route them straight to the sort;
+        # every other rejected row gets the EXACT segment-gather selection
+        # (deterministic, zero further readbacks — see
+        # _certified_straggler_jit for why it is complete when cnt <= k)
         over = bad[bad_counts > k]
         retry = bad[bad_counts <= k]
         c_np = np.asarray(pts, np.float64).mean(axis=0).astype(np.float32)
         pts_np = np.asarray(pts)
-        bits = max((n - 1).bit_length(), 1)
-        npow = 1 << bits
-        pts_c_pow = jnp.pad(pts - c_np[None, :], ((0, npow - n), (0, 0)),
-                            constant_values=jnp.inf)
         pts_c = pts - c_np[None, :]
-        k_sel = min(max(4 * k, 256), n)
-        t_rounds = _time.perf_counter()
-        for r in range(rounds):
-            if retry.size == 0:
-                break
-            xmask = ((0x5A5A5A5A >> max(32 - bits, 0)) ^ (r * 0x1D951)) \
-                & (npow - 1)
-            xmask_d = jnp.int32(xmask)
-            pts_perm = _certified_permute_jit(pts_c_pow, bits, xmask_d)
-            results = []
-            for j in range(0, retry.size, round_block):
-                rows = retry[j:j + round_block]
-                # pad every block to round_block: ONE compiled round shape
-                # (remote-TPU compiles cost minutes; a few ms of padded
-                # panel compute per round is nothing)
-                fpts = np.full((round_block, d), np.inf, np.float32)
-                fpts[:rows.size] = pts_np[rows] - c_np[None, :]
-                results.append((rows, _certified_round_jit(
-                    jnp.asarray(fpts), pts_c, pts_perm, jnp.float32(eps),
-                    k, k_sel, min_pts, recall_target, bits, xmask_d)))
-            # ONE certificate readback for the whole round (all blocks were
-            # enqueued above and run back-to-back on device)
-            ok_all = np.asarray(jnp.concatenate(
-                [fcert[:rows.size] for rows, (_, _, _, _, fcert) in results]))
-            pos = 0
-            still = []
-            for rows, (fi, fd, fc, fcore, _) in results:
-                ok = ok_all[pos:pos + rows.size]
-                pos += rows.size
-                okr = rows[ok]
-                if okr.size:
-                    sel = jnp.asarray(np.nonzero(ok)[0], jnp.int32)
-                    patch(okr, fi[sel], fd[sel], fc[sel], fcore[sel])
-                still.append(rows[~ok])
-            retry = np.concatenate(still) if still else retry[:0]
-        bad = np.concatenate([over, retry])
+        t_retry = _time.perf_counter()
+        for j in range(0, retry.size, straggler_block):
+            rows = retry[j:j + straggler_block]
+            # pad every block to straggler_block: ONE compiled shape
+            # (remote-TPU compiles cost minutes; padded rows are no-ops)
+            fpts = np.full((straggler_block, d), np.inf, np.float32)
+            fpts[:rows.size] = pts_np[rows] - c_np[None, :]
+            fi, fd, fc, fcore, _ = _certified_straggler_jit(
+                jnp.asarray(fpts), pts_c, jnp.float32(eps), k, min_pts)
+            patch(rows, fi, fd, fc, fcore)
+        bad = over
         if _stats is not None:
             _stats["sorted"] = int(bad.size)
-            _stats["rounds_s"] = _time.perf_counter() - t_rounds
+            _stats["retry_s"] = _time.perf_counter() - t_retry
     elif _stats is not None:
         _stats["sorted"] = int(bad.size)
 

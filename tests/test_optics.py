@@ -582,8 +582,8 @@ def test_certified_equals_dense_neighbor_sets():
         variants = {
             "direct": optics.compute_neighbors_certified(
                 pts, eps, 10, 128, _stats=stats),
-            "rounds": optics.compute_neighbors_certified(
-                pts, eps, 10, 128, _force_retry=True, round_block=512),
+            "straggler": optics.compute_neighbors_certified(
+                pts, eps, 10, 128, _force_retry=True, straggler_block=512),
             "fallback": optics.compute_neighbors_certified(
                 pts, eps, 10, 128, _force_fallback=True, sort_block=128),
         }
