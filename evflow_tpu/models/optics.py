@@ -362,8 +362,47 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
     return idx, dist, cnt, core, bad_rows, bad_cnt, nbad
 
 
-@functools.partial(jax.jit, static_argnames=("k", "min_pts", "seg_w"))
-def _certified_straggler_jit(fpts, pts_c, eps, k, min_pts, seg_w=8):
+@functools.partial(jax.jit, static_argnames=("k", "min_pts", "seg_w",
+                                             "blocks", "sb"))
+def _certified_retry_all_jit(idx, dist, cnt, core, pts_c, bad_rows, nbad,
+                             offset, eps, k, min_pts, seg_w=8, blocks=8,
+                             sb=512):
+    """Device-resident retry driver (r5): runs the exact segment-gather
+    selection over up to blocks*sb rows of the device-compacted bad_rows
+    list and patches the table rows in place — the host never reads the
+    row list (a 26 KB readback measured ~300 ms on a degraded relay; only
+    the nbad scalar and the returned overflow count cross the link).
+    Rows past nbad, and rows whose gate count exceeds k (which the
+    segment-gather cannot certify), are scatter-dropped; the overflow
+    count tells the host whether the full-width sort path must run."""
+    n = pts_c.shape[0]
+
+    def body(b, acc):
+        idx, dist, cnt_t, core, n_over = acc
+        # caller pads bad_rows by blocks*sb sentinel entries so this slice
+        # never clamps (dynamic_slice clamping would desynchronize rows_d
+        # from the live mask)
+        start = offset + b * sb
+        rows_d = jax.lax.dynamic_slice_in_dim(bad_rows, start, sb, 0)
+        live = (start + jnp.arange(sb, dtype=jnp.int32)) < nbad
+        rows_c = jnp.clip(rows_d, 0, n - 1)
+        fpts = jnp.where(live[:, None], pts_c[rows_c], jnp.inf)
+        fi, fd, fc, fcore, fcert = _certified_straggler_body(
+            fpts, pts_c, eps, k, min_pts, seg_w)
+        ok = live & fcert
+        tgt = jnp.where(ok, rows_c, n)
+        idx = idx.at[tgt].set(fi, mode="drop")
+        dist = dist.at[tgt].set(fd, mode="drop")
+        cnt_t = cnt_t.at[tgt].set(fc, mode="drop")
+        core = core.at[tgt].set(fcore, mode="drop")
+        n_over = n_over + jnp.sum((live & ~fcert).astype(jnp.int32))
+        return idx, dist, cnt_t, core, n_over
+
+    return jax.lax.fori_loop(0, blocks, body,
+                             (idx, dist, cnt, core, jnp.int32(0)))
+
+
+def _certified_straggler_body(fpts, pts_c, eps, k, min_pts, seg_w=8):
     """EXACT selection for rows the pass-1 certificate rejected — no
     approximation anywhere (r5, replaces the rotated re-selection rounds,
     which measured only ~37% capture per round on the dense-neighborhood
@@ -388,7 +427,10 @@ def _certified_straggler_jit(fpts, pts_c, eps, k, min_pts, seg_w=8):
         .reshape(r, s, seg_w)), axis=2)                          # (R, S)
     segkey = jnp.where(segfin, jnp.arange(s, dtype=jnp.int32)[None, :],
                        jnp.int32(s))
-    sseg = jax.lax.sort(segkey, dimension=1)[:, :k]              # (R, k)
+    ksel = min(k, s)
+    sseg = jax.lax.sort(segkey, dimension=1)[:, :ksel]           # (R, k)
+    if ksel < k:                       # tiny-n edge: fewer segments than k
+        sseg = jnp.pad(sseg, ((0, 0), (0, k - ksel)), constant_values=s)
     segok = sseg < s
     cols = (jnp.clip(sseg, 0, s - 1)[:, :, None] * seg_w
             + jnp.arange(seg_w, dtype=jnp.int32)[None, None, :]
@@ -499,18 +541,9 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
     # TWO small readbacks: the scalar count, then exactly (2, nbad) int32 —
     # never the (n,) vectors (relay rule, CLAUDE.md)
     nbad = int(np.asarray(nbad_d))
-    if nbad:
-        bc = np.asarray(jnp.stack([bad_rows[:nbad], bad_cnt[:nbad]]))
-        bad, bad_counts = bc[0], bc[1]
-    else:
-        bad = bad_counts = np.zeros((0,), np.int32)
-    if _force_fallback or _force_retry:
-        # test hooks: exercise the fallback paths on every row (XLA:CPU
-        # approx_max_k is exact, so they never fire naturally there)
-        bad = np.arange(n)
-        bad_counts = np.asarray(cnt)
     if _stats is not None:
-        _stats["uncertified"] = int(bad.size)
+        _stats["uncertified"] = nbad if not (_force_fallback or _force_retry) \
+            else n
         _stats["pass1_s"] = _time.perf_counter() - t_start  # nbad read = sync
 
     def patch(rows, fi, fd, fc, fcore):
@@ -522,32 +555,58 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
         cnt = cnt.at[rows_j].set(fc[take])
         core = core.at[rows_j].set(fcore[take])
 
-    if bad.size and not _force_fallback:
-        # overflow rows can never certify — route them straight to the sort;
-        # every other rejected row gets the EXACT segment-gather selection
-        # (deterministic, zero further readbacks — see
-        # _certified_straggler_jit for why it is complete when cnt <= k)
-        over = bad[bad_counts > k]
-        retry = bad[bad_counts <= k]
-        c_np = np.asarray(pts, np.float64).mean(axis=0).astype(np.float32)
-        pts_np = np.asarray(pts)
-        pts_c = pts - c_np[None, :]
-        t_retry = _time.perf_counter()
-        for j in range(0, retry.size, straggler_block):
-            rows = retry[j:j + straggler_block]
-            # pad every block to straggler_block: ONE compiled shape
-            # (remote-TPU compiles cost minutes; padded rows are no-ops)
-            fpts = np.full((straggler_block, d), np.inf, np.float32)
-            fpts[:rows.size] = pts_np[rows] - c_np[None, :]
-            fi, fd, fc, fcore, _ = _certified_straggler_jit(
-                jnp.asarray(fpts), pts_c, jnp.float32(eps), k, min_pts)
-            patch(rows, fi, fd, fc, fcore)
-        bad = over
+    bad = np.zeros((0,), np.int32)
+    if _force_fallback or _force_retry:
+        # test hooks: exercise the fallback paths on every row (XLA:CPU
+        # approx_max_k is exact, so they never fire naturally there)
+        bad = np.arange(n)
+        bad_counts = np.asarray(cnt)
+        if _force_retry:
+            retry = bad[bad_counts <= k]
+            c_np = np.asarray(pts, np.float64).mean(axis=0).astype(np.float32)
+            pts_np = np.asarray(pts)
+            pts_c = pts - c_np[None, :]
+            sjit = jax.jit(_certified_straggler_body,
+                           static_argnames=("k", "min_pts", "seg_w"))
+            for j in range(0, retry.size, straggler_block):
+                rows = retry[j:j + straggler_block]
+                fpts = np.full((straggler_block, d), np.inf, np.float32)
+                fpts[:rows.size] = pts_np[rows] - c_np[None, :]
+                fi, fd, fc, fcore, _ = sjit(jnp.asarray(fpts), pts_c,
+                                            jnp.float32(eps), k=k,
+                                            min_pts=min_pts)
+                patch(rows, fi, fd, fc, fcore)
+            bad = bad[bad_counts > k]
         if _stats is not None:
             _stats["sorted"] = int(bad.size)
+    elif nbad:
+        # DEVICE-RESIDENT retry: the exact segment-gather selection runs
+        # over the device-compacted bad_rows list and patches the tables in
+        # place — the host reads only the overflow count (reading the row
+        # list itself, 26 KB, measured ~300 ms on a degraded relay)
+        c_np = np.asarray(pts, np.float64).mean(axis=0).astype(np.float32)
+        pts_c = pts - c_np[None, :]
+        t_retry = _time.perf_counter()
+        blocks = 8
+        bad_pad = jnp.pad(bad_rows, (0, blocks * straggler_block),
+                          constant_values=n)
+        overs = []
+        for off in range(0, nbad, blocks * straggler_block):
+            idx, dist, cnt, core, n_over = _certified_retry_all_jit(
+                idx, dist, cnt, core, pts_c, bad_pad, nbad_d,
+                jnp.int32(off), jnp.float32(eps), k, min_pts,
+                blocks=blocks, sb=straggler_block)
+            overs.append(n_over)
+        n_over = int(np.asarray(sum(overs)))
+        if _stats is not None:
+            _stats["sorted"] = n_over
             _stats["retry_s"] = _time.perf_counter() - t_retry
+        if n_over:
+            # rare path (post-auto-raise overflow): now read the row list
+            bc = np.asarray(jnp.stack([bad_rows[:nbad], bad_cnt[:nbad]]))
+            bad = bc[0][bc[1] > k]
     elif _stats is not None:
-        _stats["sorted"] = int(bad.size)
+        _stats["sorted"] = 0
 
     if bad.size:
         t_sort = _time.perf_counter()
