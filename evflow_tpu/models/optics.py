@@ -438,7 +438,12 @@ def _certified_straggler_body(fpts, pts_c, eps, k, min_pts, seg_w=8):
     colok = segok[:, :, None].repeat(seg_w, axis=2).reshape(r, k * seg_w) \
         & (cols < n)
     cols = jnp.clip(cols, 0, n - 1)
-    cand = pts_c[cols]                                           # (R, kw, d)
+    # gather whole segments as CONTIGUOUS seg_w·d rows (points are row-major,
+    # so seg_w consecutive points are one flat run — aligned row-segment
+    # gathers measure ~2x faster than per-point coordinate gathers, r1)
+    pts_flat = jnp.pad(pts_c.reshape(-1), (0, (s * seg_w - n) * d),
+                       constant_values=jnp.inf).reshape(s, seg_w * d)
+    cand = pts_flat[jnp.clip(sseg, 0, s - 1)].reshape(r, k * seg_w, d)
     d2x = jnp.sum((fpts[:, None, :] - cand) ** 2, axis=-1)
     dx = jnp.sqrt(d2x)
     dx = jnp.where(colok & (dx <= eps), dx, jnp.inf)
