@@ -58,8 +58,11 @@ def run_device(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
     paths = {}
     paths["dense_approx"] = _timed_laps(lambda: optics.compute_neighbors(
         pts, eps, min_pts, max_neighbors=max_neighbors, approx=True))
-    # count-certified EXACT selection — applies at any dimension
-    if min_pts <= max_neighbors:
+    # count-certified EXACT selection — applies at any dimension; measured
+    # here only where it is the contender (d >= 4 at large n — below that
+    # cellpair/grid win outright and each (n, d) shape costs a multi-minute
+    # remote compile)
+    if min_pts <= max_neighbors and dim >= 4 and n_points * dim >= 200_000:
         paths["certified"] = _timed_laps(
             lambda: optics.compute_neighbors_certified(
                 pts, eps, min_pts, max_neighbors=max_neighbors))
@@ -116,8 +119,8 @@ def main():
         grid = [(2, 10_000, 10), (2, 100_000, 10)]
     else:
         grid = [(2, 100_000, 10), (3, 100_000, 10), (4, 100_000, 10),
-                (6, 100_000, 10), (2, 10_000, 10), (1, 500_000, 500),
-                (10, 10_000, 10), (64, 1_000, 10)]
+                (5, 100_000, 10), (6, 100_000, 10), (2, 10_000, 10),
+                (1, 500_000, 500), (10, 10_000, 10), (64, 1_000, 10)]
 
     REF = {(2, 100_000): 0.294, (3, 100_000): 0.344, (4, 100_000): 0.378,
            (6, 100_000): 0.677, (2, 10_000): 0.020, (1, 500_000): 12.4}

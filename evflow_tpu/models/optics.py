@@ -261,6 +261,22 @@ def _certified_gate(rows, pts_c, q2, qn, eps):
     return jnp.where(keep, d2b, jnp.inf), cnt
 
 
+def _certified_gate_diff(rows, pts_c, eps):
+    """Fused diff-form twin of _certified_gate: d² as the sum over the d
+    (<= ~6 unrolled) coordinates of squared differences — no matmul, no
+    cancellation (measured 2^-19 relative on this backend), so the margin
+    is a flat (1 + 2^-12) factor on eps². VPU-elementwise; XLA fuses the
+    accumulation into the consumer without materializing the panel."""
+    d = rows.shape[1]
+    d2b = None
+    for j in range(d):
+        t = (rows[:, j][:, None] - pts_c[:, j][None, :]) ** 2
+        d2b = t if d2b is None else d2b + t
+    keep = d2b <= eps * eps * jnp.float32(1.0 + 2.0 ** -12)
+    cnt = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return jnp.where(keep, d2b, jnp.inf), cnt
+
+
 def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
                              recall, col_map=None):
     """approx_max_k selection + certificate + exact diff-form refine on one
@@ -292,9 +308,9 @@ def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "nblocks",
-                                             "min_pts", "recall"))
+                                             "min_pts", "recall", "gate"))
 def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
-                                     min_pts, recall):
+                                     min_pts, recall, gate="highest"):
     """Count-CERTIFIED exact selection, full pass (r5, VERDICT r4 task #1).
 
     Centered HIGH-precision gate panel (see _certified_gate — a proven
@@ -334,7 +350,10 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
     def body(i, acc):
         ia, da, ca, ka, cert_a = acc
         rows = jax.lax.dynamic_slice_in_dim(pts_pad, i * block, block, 0) - c
-        masked, cnt = _certified_gate(rows, pts_c, q2, qn, eps)
+        if gate == "diff":
+            masked, cnt = _certified_gate_diff(rows, pts_c, eps)
+        else:
+            masked, cnt = _certified_gate(rows, pts_c, q2, qn, eps)
         idx, dx, cnt, core, cert = _certified_select_refine(
             masked, cnt, rows, pts_c, eps, k, min_pts, recall)
         return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * block, 0),
@@ -363,10 +382,10 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "min_pts", "seg_w",
-                                             "blocks", "sb"))
+                                             "blocks", "sb", "gate"))
 def _certified_retry_all_jit(idx, dist, cnt, core, pts_c, bad_rows, nbad,
                              offset, eps, k, min_pts, seg_w=8, blocks=8,
-                             sb=512):
+                             sb=512, gate="highest"):
     """Device-resident retry driver (r5): runs the exact segment-gather
     selection over up to blocks*sb rows of the device-compacted bad_rows
     list and patches the table rows in place — the host never reads the
@@ -388,7 +407,7 @@ def _certified_retry_all_jit(idx, dist, cnt, core, pts_c, bad_rows, nbad,
         rows_c = jnp.clip(rows_d, 0, n - 1)
         fpts = jnp.where(live[:, None], pts_c[rows_c], jnp.inf)
         fi, fd, fc, fcore, fcert = _certified_straggler_body(
-            fpts, pts_c, eps, k, min_pts, seg_w)
+            fpts, pts_c, eps, k, min_pts, seg_w, gate)
         ok = live & fcert
         tgt = jnp.where(ok, rows_c, n)
         idx = idx.at[tgt].set(fi, mode="drop")
@@ -402,7 +421,8 @@ def _certified_retry_all_jit(idx, dist, cnt, core, pts_c, bad_rows, nbad,
                              (idx, dist, cnt, core, jnp.int32(0)))
 
 
-def _certified_straggler_body(fpts, pts_c, eps, k, min_pts, seg_w=8):
+def _certified_straggler_body(fpts, pts_c, eps, k, min_pts, seg_w=8,
+                              gate="highest"):
     """EXACT selection for rows the pass-1 certificate rejected — no
     approximation anywhere (r5, replaces the rotated re-selection rounds,
     which measured only ~37% capture per round on the dense-neighborhood
@@ -417,9 +437,12 @@ def _certified_straggler_body(fpts, pts_c, eps, k, min_pts, seg_w=8):
     (R, N) full sort (~7x cheaper at R=512, N=100k)."""
     r, d = fpts.shape
     n = pts_c.shape[0]
-    q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
-    qn = jnp.sqrt(jnp.maximum(q2, 0.0))
-    masked, cnt = _certified_gate(fpts, pts_c, q2, qn, eps)     # (R, N)
+    if gate == "diff":
+        masked, cnt = _certified_gate_diff(fpts, pts_c, eps)    # (R, N)
+    else:
+        q2 = jnp.sum(pts_c * pts_c, axis=1)[None, :]
+        qn = jnp.sqrt(jnp.maximum(q2, 0.0))
+        masked, cnt = _certified_gate(fpts, pts_c, q2, qn, eps)
     s = -(-n // seg_w)
     wpad = s * seg_w - n
     segfin = jnp.any(jnp.isfinite(
@@ -504,6 +527,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 recall_target: float = 0.95,
                                 straggler_block: int = 512,
                                 sort_block: int = 512,
+                                gate: str = "highest",
                                 _stats: Optional[dict] = None,
                                 _force_fallback: bool = False,
                                 _force_retry: bool = False
@@ -542,7 +566,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
     idx, dist, cnt, core, bad_rows, bad_cnt, nbad_d = \
         _compute_neighbors_certified_jit(
             pts_pad, pts, jnp.float32(eps), k, block, nblocks, min_pts,
-            recall_target)
+            recall_target, gate)
     # TWO small readbacks: the scalar count, then exactly (2, nbad) int32 —
     # never the (n,) vectors (relay rule, CLAUDE.md)
     nbad = int(np.asarray(nbad_d))
@@ -572,14 +596,15 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
             pts_np = np.asarray(pts)
             pts_c = pts - c_np[None, :]
             sjit = jax.jit(_certified_straggler_body,
-                           static_argnames=("k", "min_pts", "seg_w"))
+                           static_argnames=("k", "min_pts", "seg_w",
+                                            "gate"))
             for j in range(0, retry.size, straggler_block):
                 rows = retry[j:j + straggler_block]
                 fpts = np.full((straggler_block, d), np.inf, np.float32)
                 fpts[:rows.size] = pts_np[rows] - c_np[None, :]
                 fi, fd, fc, fcore, _ = sjit(jnp.asarray(fpts), pts_c,
                                             jnp.float32(eps), k=k,
-                                            min_pts=min_pts)
+                                            min_pts=min_pts, gate=gate)
                 patch(rows, fi, fd, fc, fcore)
             bad = bad[bad_counts > k]
         if _stats is not None:
@@ -600,7 +625,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
             idx, dist, cnt, core, n_over = _certified_retry_all_jit(
                 idx, dist, cnt, core, pts_c, bad_pad, nbad_d,
                 jnp.int32(off), jnp.float32(eps), k, min_pts,
-                blocks=blocks, sb=straggler_block)
+                blocks=blocks, sb=straggler_block, gate=gate)
             overs.append(n_over)
         n_over = int(np.asarray(sum(overs)))
         if _stats is not None:
@@ -1150,12 +1175,16 @@ def compute_reachability_dists(points: np.ndarray, min_pts: int,
             table = compute_neighbors_2stage(points, epsilon, min_pts,
                                              max_neighbors=max_neighbors,
                                              block=block)
-        if table is None and method in ("auto", "certified") and not approx:
+        if (table is None and not approx
+                and (method == "certified"
+                     or (method == "auto" and n >= 32768))):
             # r5: count-certified EXACT selection — the default whenever the
-            # grid declines (d > 4, degenerate grids, over-dense cells).
-            # Replaces the exact-top_k dense path (measured ~8.5 s at
-            # n=100k) with certified approx selection + per-row exact
-            # fallback.
+            # grid declines (d > 4, degenerate grids, over-dense cells) at
+            # scale. Replaces the exact-top_k dense path (measured ~8.5 s
+            # at n=100k) with certified approx selection + per-row exact
+            # fallback. Below ~32k points exact top_k on the dense panels
+            # is already cheap and the plain dense path below handles it
+            # (exact when approx=False).
             table = compute_neighbors_certified(points, epsilon, min_pts,
                                                 max_neighbors=max_neighbors,
                                                 block=block)
