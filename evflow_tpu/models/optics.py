@@ -278,10 +278,14 @@ def _certified_gate_diff(rows, pts_c, eps):
 
 
 def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
-                             recall, col_map=None):
-    """approx_max_k selection + certificate + exact diff-form refine on one
-    (B, N) masked gate panel. col_map maps selected column positions back
-    to original point indices (None = identity)."""
+                             recall, col_map=None, values_exact=False):
+    """approx_max_k selection + certificate + refine on one (B, N) masked
+    gate panel. col_map maps selected column positions back to original
+    point indices (None = identity). values_exact=True (the diff-form
+    gate) means the selected panel values already ARE exact squared
+    distances, so the gather-recompute refine is skipped outright — at
+    n=100k the (B, k, d) candidate gather across all blocks was ~200 ms
+    of pass-1 (r5 gate probe accounting)."""
     n = pts_c.shape[0]
     neg, idx = jax.lax.approx_max_k(-masked, k, recall_target=recall)
     captured = jnp.sum(jnp.isfinite(-neg), axis=1).astype(jnp.int32)
@@ -289,9 +293,12 @@ def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
     if col_map is not None:
         idx = col_map(idx)
     idx = jnp.clip(idx, 0, n - 1)
-    cand = pts_c[idx]                                  # (B, k, d)
-    d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
-    d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
+    if values_exact:
+        d2x = -neg
+    else:
+        cand = pts_c[idx]                              # (B, k, d)
+        d2x = jnp.sum((rows[:, None, :] - cand) ** 2, axis=-1)
+        d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
     dx = jnp.sqrt(d2x)
     dx = jnp.where(dx <= eps, dx, jnp.inf)
     order = jnp.argsort(dx, axis=1)
@@ -355,7 +362,8 @@ def _compute_neighbors_certified_jit(pts_pad, pts, eps, k, block, nblocks,
         else:
             masked, cnt = _certified_gate(rows, pts_c, q2, qn, eps)
         idx, dx, cnt, core, cert = _certified_select_refine(
-            masked, cnt, rows, pts_c, eps, k, min_pts, recall)
+            masked, cnt, rows, pts_c, eps, k, min_pts, recall,
+            values_exact=(gate == "diff"))
         return (jax.lax.dynamic_update_slice_in_dim(ia, idx, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(da, dx, i * block, 0),
                 jax.lax.dynamic_update_slice_in_dim(ca, cnt, i * block, 0),
@@ -527,7 +535,7 @@ def compute_neighbors_certified(points: np.ndarray, eps: float, min_pts: int,
                                 recall_target: float = 0.95,
                                 straggler_block: int = 512,
                                 sort_block: int = 512,
-                                gate: str = "highest",
+                                gate: str = "diff",
                                 _stats: Optional[dict] = None,
                                 _force_fallback: bool = False,
                                 _force_retry: bool = False
