@@ -144,8 +144,13 @@ def _compute_neighbors_2stage_jit(pts_pad, pts, eps, k, block, nblocks,
     2^-7·|r||q| by Cauchy-Schwarz on the 2^-9-relative input rounding —
     centering shrinks |r||q| by orders of magnitude at the benchmark's
     coordinate scales; this is the same failure algebra as the 80x
-    bf16-neighbor-inflation incident, used constructively). The gate
-    eps² + 2^-5·|r||q| (4x safety margin over the bound) therefore admits a
+    bf16-neighbor-inflation incident, used constructively). r5 MEASURED
+    CORRECTION (prof_certified2 --probe-gate): the on-device error is
+    2^-6.5·|r||q| — the MXU accumulation is looser than the input-rounding
+    bound assumed — so the 2^-5 margin holds by 2.8x, not 4x; still sound,
+    but see compute_neighbors_certified for the tight diff-form gate that
+    superseded this path. The gate
+    eps² + 2^-5·|r||q| therefore admits a
     strict SUPERSET of the true ε-neighbors; stage 2 gathers the top-k'
     candidates and computes exact difference-form distances (the grid path's
     form — more accurate than any |a|²+|b|²-2ab panel), re-masks at the true
