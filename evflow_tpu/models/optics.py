@@ -306,9 +306,9 @@ def _certified_select_refine(masked, cnt, rows, pts_c, eps, k, min_pts,
         d2x = jnp.where(jnp.isfinite(-neg), d2x, jnp.inf)
     dx = jnp.sqrt(d2x)
     dx = jnp.where(dx <= eps, dx, jnp.inf)
-    order = jnp.argsort(dx, axis=1)
-    dx = jnp.take_along_axis(dx, order, axis=1)
-    idx = jnp.take_along_axis(idx, order, axis=1)
+    # variadic (dx, idx) sort in place of argsort + two take_along gathers
+    # (the r3 selection lesson, applied to the k-wide refine panel)
+    dx, idx = jax.lax.sort((dx, idx), num_keys=1)
     idx = jnp.where(jnp.isfinite(dx), idx, -1)
     cnt_true = jnp.sum(jnp.isfinite(dx), axis=1).astype(jnp.int32)
     if min_pts <= k:
