@@ -475,8 +475,17 @@ def corner_track_step(
             cxs, cys, cvs, drops = jax.vmap(
                 lambda sx, sy, st_, sv: _representative_candidates(
                     None, sx, sy, st_, sv, m_sub, cfg))(xr, yr, tr, vr)
-            masks = efast.detect_corners_stacked(stack, cxs, cys, cvs,
-                                                 cfg.efast, cfg.sensor)
+            # per-plane detection, statically unrolled: the q detections are
+            # INDEPENDENT (unlike the serial path's carry chain) and each
+            # gathers against its own (H, W) plane — the batched stacked
+            # detector's single gather against the (q·H, W) tall image
+            # measured ~1.4 ms/slice slower at q=8 (r5 bench: 16.9x vs the
+            # serial path's 23.4x; same lesson as r1's multi-dim patch
+            # gathers — gather cost grows with target footprint)
+            masks = jnp.stack([
+                efast.detect_corners(stack[kq], cxs[kq], cys[kq], cvs[kq],
+                                     cfg.efast, cfg.sensor)
+                for kq in range(q)])
             corner_mask = masks.reshape(-1) & (state.slice_idx > 0)
             return _corners_to_tracks(corner_mask, cxs.reshape(-1),
                                       cys.reshape(-1), state, new_sae, cfg,
