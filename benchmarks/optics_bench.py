@@ -112,6 +112,9 @@ def run_e2e(n_points: int, dim: int, min_pts: int, volume: float = 1000.0,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-e2e", action="store_true",
+                    help="device laps only (the CSV rows); skip the "
+                         "readback-bound e2e phase")
     ap.add_argument("--out", default="benchmark.csv")
     args = ap.parse_args()
 
@@ -140,10 +143,11 @@ def main():
               f"{(best_exact*1e3 if best_exact else float('nan')):.2f} ms "
               f"[{ptxt} ms]{speedup}", flush=True)
         rows.append((dim, n, 1000.0, mp, best, int(is_exact)))
-    for dim, n, mp in grid:
-        e2e = run_e2e(n, dim, mp)
-        print(f"d={dim} n={n} min_pts={mp}: e2e={e2e*1e3:.1f} ms "
-              f"(readback-bound on this rig)", flush=True)
+    if not args.no_e2e:
+        for dim, n, mp in grid:
+            e2e = run_e2e(n, dim, mp)
+            print(f"d={dim} n={n} min_pts={mp}: e2e={e2e*1e3:.1f} ms "
+                  f"(readback-bound on this rig)", flush=True)
 
     # reference schema (benchmark.cpp:109-226) + an `exact` column: 1 = the
     # timed backend returns provably-exact neighbor sets (VERDICT r4 weak
