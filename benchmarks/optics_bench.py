@@ -143,19 +143,21 @@ def main():
               f"{(best_exact*1e3 if best_exact else float('nan')):.2f} ms "
               f"[{ptxt} ms]{speedup}", flush=True)
         rows.append((dim, n, 1000.0, mp, best, int(is_exact)))
+    # reference schema (benchmark.cpp:109-226) + an `exact` column: 1 = the
+    # timed backend returns provably-exact neighbor sets (VERDICT r4 weak
+    # #5 — the r4 file silently mixed exact and approx-recall rows).
+    # Written BEFORE the e2e phase so the artifact survives an interrupted
+    # (or killed) e2e pass.
+    with open(args.out, "w") as f:
+        f.write("dimension;n_points;volume;min_clustersize;time;exact\n")
+        for r in rows:
+            f.write(";".join(str(v) for v in r) + "\n")
+
     if not args.no_e2e:
         for dim, n, mp in grid:
             e2e = run_e2e(n, dim, mp)
             print(f"d={dim} n={n} min_pts={mp}: e2e={e2e*1e3:.1f} ms "
                   f"(readback-bound on this rig)", flush=True)
-
-    # reference schema (benchmark.cpp:109-226) + an `exact` column: 1 = the
-    # timed backend returns provably-exact neighbor sets (VERDICT r4 weak
-    # #5 — the r4 file silently mixed exact and approx-recall rows)
-    with open(args.out, "w") as f:
-        f.write("dimension;n_points;volume;min_clustersize;time;exact\n")
-        for r in rows:
-            f.write(";".join(str(v) for v in r) + "\n")
 
 
 if __name__ == "__main__":
