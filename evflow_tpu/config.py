@@ -132,8 +132,11 @@ class ClusterConfig:
     # in VMEM. Counts/ranks exact; weighted sums differ only in fp
     # reduction order (same class as stats_matmul vs the scatter path).
     # Applies on the single-device path when N %% 2048 == 0 (mesh paths
-    # keep the XLA form — collectives interleave the computation). Opt-in
-    # pending TPU A/B measurement.
+    # keep the XLA form — collectives interleave the computation).
+    # MEASURED A/B on TPU (r5, same session): Pallas 0.723 vs XLA matmul
+    # 0.672 ms/slice — XLA already fuses this chain competitively (the
+    # same verdict as the r2 fused-assignment kernel). Kept as the
+    # validated Mosaic pattern; default off.
     stats_pallas: bool = False
 
     @staticmethod
@@ -197,12 +200,17 @@ class EFastConfig:
     # benchmarks/corner_fidelity.py; tests/test_event_exact.py).
     micro_slices: int = 1
     # q>1 snapshot-stack backend (r5): build all q post-sub-slice surfaces
-    # with one (q, H, W) keyed scatter-max + a sub-axis cummax and detect
-    # via the batched stacked detector, instead of q serially-dependent
-    # scatter+detect dispatches. Bit-equal to the serial path; measured
-    # faster (the serial sub-scatter chain was the entire q=8 overhead).
-    # False restores the r3-r4 serial chain for A/B.
-    micro_stack: bool = True
+    # with one (q, H, W) keyed scatter-max + a sub-axis cummax, detection
+    # per plane (statically unrolled, independent), instead of q
+    # serially-dependent scatter+detect dispatches. Bit-equal to the
+    # serial chain (tested). MEASURED A/B on TPU (r5, same session,
+    # chain-per-drain): stack 1.73 vs serial 1.68 ms/slice corner step at
+    # q=8 — the serial chain's dispatch dependency costs nothing XLA can't
+    # hide, and the keyed 3-D scatter + cummax roughly offset the removed
+    # chain. (First stack variant used the batched tall-image detector:
+    # 1.4 ms/slice WORSE — gather cost grows with target footprint.)
+    # Default stays the serial path; the stack remains available.
+    micro_stack: bool = False
     # while fast_corner.cpp:294-298 uses the transposed order. True = group_track.
     group_track_axis_order: bool = True
     # Detection backend for the slice-sync step: True = dense per-band stencil
